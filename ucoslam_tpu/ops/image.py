@@ -1,0 +1,137 @@
+"""Whole-image ops: Gaussian blur, pyramid build, patch moments.
+
+Counterpart of the reference's per-level image machinery
+(ORBextractor::ComputePyramid, ORBextractor.cpp:1355; the GaussianBlur(7,7,2)
+before descriptor sampling). Everything is expressed as XLA convolutions /
+resizes so levels batch onto the MXU instead of the reference's per-level
+thread pool (ORBextractor.cpp:1080-1317).
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def gaussian_kernel1d(ksize: int, sigma: float) -> np.ndarray:
+    r = np.arange(ksize) - (ksize - 1) / 2.0
+    k = np.exp(-(r * r) / (2.0 * sigma * sigma))
+    return (k / k.sum()).astype(np.float32)
+
+
+def _conv2d_single(img: jnp.ndarray, kernel: jnp.ndarray, pad: str = "SAME") -> jnp.ndarray:
+    """(H, W) x (kh, kw) -> (H, W) convolution (cross-correlation)."""
+    out = jax.lax.conv_general_dilated(
+        img[None, None, :, :],
+        kernel[None, None, :, :],
+        window_strides=(1, 1),
+        padding=pad,
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+    )
+    return out[0, 0]
+
+
+def gaussian_blur(img: jnp.ndarray, ksize: int = 7, sigma: float = 2.0) -> jnp.ndarray:
+    """Separable Gaussian blur with edge replication at borders.
+
+    Matches cv2.GaussianBlur(img, (7,7), 2, 2, BORDER_REFLECT_101) closely
+    enough for descriptor sampling (the reference blurs each level before
+    computing rBRIEF).
+    """
+    k = jnp.asarray(gaussian_kernel1d(ksize, sigma))
+    pad = ksize // 2
+    padded = jnp.pad(img, ((pad, pad), (0, 0)), mode="reflect")
+    tmp = _conv2d_single(padded, k[:, None], pad="VALID")
+    padded = jnp.pad(tmp, ((0, 0), (pad, pad)), mode="reflect")
+    return _conv2d_single(padded, k[None, :], pad="VALID")
+
+
+def pyramid_shapes(h: int, w: int, n_levels: int, scale_factor: float):
+    """Static per-level (H_l, W_l) sizes, reference-compatible rounding."""
+    shapes = []
+    for lv in range(n_levels):
+        s = 1.0 / (scale_factor ** lv)
+        shapes.append((int(round(h * s)), int(round(w * s))))
+    return shapes
+
+
+def build_pyramid(img: jnp.ndarray, n_levels: int, scale_factor: float):
+    """(H, W) float32 -> list of per-level images (static shapes)."""
+    h, w = img.shape
+    shapes = pyramid_shapes(h, w, n_levels, scale_factor)
+    levels = [img]
+    for lv in range(1, n_levels):
+        # Resize from the previous level (as the reference does) to avoid
+        # aliasing from repeated large downscales.
+        levels.append(
+            jax.image.resize(levels[-1], shapes[lv], method="linear")
+        )
+    return levels
+
+
+def patch_moment_maps(img: jnp.ndarray, radius: int = 15):
+    """Dense intensity-centroid moment maps over a circular patch.
+
+    Returns (m10, m01): each (H, W), where m10[y, x] = sum_{(u,v) in disc}
+    u * I[y+v, x+u] — the moments used by ORB's IC-angle (the reference
+    computes these per keypoint; we compute them densely as two convolutions
+    so orientation is a gather afterwards).
+    """
+    d = 2 * radius + 1
+    ys, xs = np.mgrid[-radius : radius + 1, -radius : radius + 1]
+    disc = (xs * xs + ys * ys) <= radius * radius
+    kx = (xs * disc).astype(np.float32)
+    ky = (ys * disc).astype(np.float32)
+    # conv_general_dilated performs cross-correlation, so the kernel taps
+    # align with image offsets directly.
+    m10 = _conv2d_single(img, jnp.asarray(kx))
+    m01 = _conv2d_single(img, jnp.asarray(ky))
+    return m10, m01
+
+
+@partial(jax.jit, static_argnames=("mode",))
+def bilinear_sample(img: jnp.ndarray, xy: jnp.ndarray, mode: str = "nearest") -> jnp.ndarray:
+    """Sample image at continuous (x, y) locations.
+
+    img: (H, W); xy: (..., 2) with x = column, y = row.
+    mode 'nearest' matches OpenCV's cvRound sampling in the ORB descriptor;
+    'bilinear' is available for sub-pixel uses (stereo refinement).
+    """
+    h, w = img.shape
+    x = xy[..., 0]
+    y = xy[..., 1]
+    if mode == "nearest":
+        xi = jnp.clip(jnp.round(x).astype(jnp.int32), 0, w - 1)
+        yi = jnp.clip(jnp.round(y).astype(jnp.int32), 0, h - 1)
+        return img[yi, xi]
+    x0 = jnp.clip(jnp.floor(x).astype(jnp.int32), 0, w - 2)
+    y0 = jnp.clip(jnp.floor(y).astype(jnp.int32), 0, h - 2)
+    fx = jnp.clip(x - x0, 0.0, 1.0)
+    fy = jnp.clip(y - y0, 0.0, 1.0)
+    v00 = img[y0, x0]
+    v01 = img[y0, x0 + 1]
+    v10 = img[y0 + 1, x0]
+    v11 = img[y0 + 1, x0 + 1]
+    return (
+        v00 * (1 - fx) * (1 - fy)
+        + v01 * fx * (1 - fy)
+        + v10 * (1 - fx) * fy
+        + v11 * fx * fy
+    )
+
+
+def rgb_to_gray(img: jnp.ndarray) -> jnp.ndarray:
+    """BGR/RGB (H, W, 3) uint8/float -> grayscale float32 (H, W).
+
+    Uses the OpenCV BGR weights (the reference converts with
+    cv::COLOR_BGR2GRAY in FrameExtractor).
+    """
+    img = img.astype(jnp.float32)
+    if img.ndim == 2:
+        return img
+    b, g, r = img[..., 0], img[..., 1], img[..., 2]
+    return 0.114 * b + 0.587 * g + 0.299 * r
