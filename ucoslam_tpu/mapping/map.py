@@ -1,0 +1,469 @@
+"""The shared world state: device-resident arenas of points/keyframes/markers.
+
+Counterpart of the reference `Map` (src/map.{h:36-234,cpp:1334}) which owns
+map_points (ReusableContainer), keyframes (FrameSet), map_markers (SafeMap),
+the covisibility graph and the keyframe database. Here the whole world is a
+pytree of fixed-capacity device arrays (`MapState`) mutated functionally by
+jitted batch ops; a thin host `Map` wrapper owns slot allocation
+(id-stable, lowest-free-first — the ReusableContainer contract) and
+sequencing. No mutexes: the single-writer host orchestration plus functional
+updates replace IoMutex/consitencyMutex (map.h:191-192).
+
+Covisibility (covisgraph.h:39): instead of an edge map keyed by packed 64-bit
+pairs, we keep the keyframe x point observation incidence implicit in
+`kf_ids` and compute covis weights as an incidence matmul on the MXU.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ucoslam_tpu.config import Params
+from ucoslam_tpu.geometry.camera import CameraParams
+from ucoslam_tpu.mapping.arena import Arena
+from ucoslam_tpu.mapping.frame import MAX_MARKERS_PER_FRAME, Frame
+
+# point status flags (reference mappoint.h flags BAD/STABLE/STEREO)
+FLAG_BAD = 1
+FLAG_STABLE = 2
+FLAG_STEREO = 4
+
+
+class MapState(NamedTuple):
+    """All device-resident world state. Capacities are static."""
+
+    # ---- map points (P slots) ----
+    pt_pos: jnp.ndarray  # (P, 3) float32 world position
+    pt_normal: jnp.ndarray  # (P, 3) float32 mean viewing direction
+    pt_desc: jnp.ndarray  # (P, 8) uint32 representative descriptor
+    pt_min_dist: jnp.ndarray  # (P,) float32 scale-invariance near bound
+    pt_max_dist: jnp.ndarray  # (P,) float32 far bound
+    pt_flags: jnp.ndarray  # (P,) int32 bitmask FLAG_*
+    pt_n_seen: jnp.ndarray  # (P,) int32 frames where matched
+    pt_n_visible: jnp.ndarray  # (P,) int32 frames where in frustum
+    pt_creation_kf: jnp.ndarray  # (P,) int32 kf seq at creation (culling)
+    pt_active: jnp.ndarray  # (P,) bool
+
+    # ---- keyframes (K slots, N keypoint slots each) ----
+    kf_pose: jnp.ndarray  # (K, 4, 4) float32 pose_f2g
+    kf_fseq: jnp.ndarray  # (K,) int32 source frame index
+    kf_active: jnp.ndarray  # (K,) bool
+    kf_xy: jnp.ndarray  # (K, N, 2) float32 undistorted keypoints
+    kf_octave: jnp.ndarray  # (K, N) int32
+    kf_desc: jnp.ndarray  # (K, N, 8) uint32
+    kf_depth: jnp.ndarray  # (K, N) float32
+    kf_kpt_valid: jnp.ndarray  # (K, N) bool
+    kf_ids: jnp.ndarray  # (K, N) int32 point slot or -1 (observation store)
+
+    # ---- markers (M slots) ----
+    mk_id: jnp.ndarray  # (M,) int32 aruco id (-1 empty)
+    mk_pose: jnp.ndarray  # (M, 4, 4) float32 pose_g2m (marker->global)
+    mk_pose_valid: jnp.ndarray  # (M,) bool 3d pose known
+    mk_size: jnp.ndarray  # (M,) float32 side length (meters)
+    mk_active: jnp.ndarray  # (M,) bool
+    # marker observations: which keyframes see which marker slot
+    kf_mk_slot: jnp.ndarray  # (K, Mf) int32 marker slot or -1
+    kf_mk_corners: jnp.ndarray  # (K, Mf, 4, 2) float32 undistorted corners
+
+    @property
+    def P(self) -> int:
+        return self.pt_pos.shape[0]
+
+    @property
+    def K(self) -> int:
+        return self.kf_pose.shape[0]
+
+    @property
+    def N(self) -> int:
+        return self.kf_xy.shape[1]
+
+
+def empty_map_state(params: Params) -> MapState:
+    P, K, N, M = (
+        params.maxMapPoints,
+        params.maxKeyFrames,
+        params.maxKeyPointsPerFrame,
+        params.maxMarkers,
+    )
+    Mf = MAX_MARKERS_PER_FRAME
+    eye4 = jnp.broadcast_to(jnp.eye(4, dtype=jnp.float32), (K, 4, 4))
+    return MapState(
+        pt_pos=jnp.zeros((P, 3), jnp.float32),
+        pt_normal=jnp.zeros((P, 3), jnp.float32),
+        pt_desc=jnp.zeros((P, 8), jnp.uint32),
+        pt_min_dist=jnp.zeros((P,), jnp.float32),
+        pt_max_dist=jnp.full((P,), 1e9, jnp.float32),
+        pt_flags=jnp.zeros((P,), jnp.int32),
+        pt_n_seen=jnp.zeros((P,), jnp.int32),
+        pt_n_visible=jnp.zeros((P,), jnp.int32),
+        pt_creation_kf=jnp.zeros((P,), jnp.int32),
+        pt_active=jnp.zeros((P,), bool),
+        kf_pose=eye4,
+        kf_fseq=jnp.full((K,), -1, jnp.int32),
+        kf_active=jnp.zeros((K,), bool),
+        kf_xy=jnp.zeros((K, N, 2), jnp.float32),
+        kf_octave=jnp.zeros((K, N), jnp.int32),
+        kf_desc=jnp.zeros((K, N, 8), jnp.uint32),
+        kf_depth=jnp.zeros((K, N), jnp.float32),
+        kf_kpt_valid=jnp.zeros((K, N), bool),
+        kf_ids=jnp.full((K, N), -1, jnp.int32),
+        mk_id=jnp.full((M,), -1, jnp.int32),
+        mk_pose=jnp.broadcast_to(jnp.eye(4, dtype=jnp.float32), (M, 4, 4)),
+        mk_pose_valid=jnp.zeros((M,), bool),
+        mk_size=jnp.zeros((M,), jnp.float32),
+        mk_active=jnp.zeros((M,), bool),
+        kf_mk_slot=jnp.full((K, Mf), -1, jnp.int32),
+        kf_mk_corners=jnp.zeros((K, Mf, 4, 2), jnp.float32),
+    )
+
+
+# ----------------------------------------------------------------------
+# Jitted functional mutation / query ops over MapState
+# ----------------------------------------------------------------------
+
+
+@jax.jit
+def op_add_keyframe(state: MapState, slot: jnp.ndarray, frame: Frame) -> MapState:
+    """Write a frame into keyframe slot (counterpart Map::addKeyFrame map.cpp:79)."""
+    return state._replace(
+        kf_pose=state.kf_pose.at[slot].set(frame.pose_f2g),
+        kf_fseq=state.kf_fseq.at[slot].set(frame.fseq),
+        kf_active=state.kf_active.at[slot].set(True),
+        kf_xy=state.kf_xy.at[slot].set(frame.und_xy),
+        kf_octave=state.kf_octave.at[slot].set(frame.octave),
+        kf_desc=state.kf_desc.at[slot].set(frame.desc),
+        kf_depth=state.kf_depth.at[slot].set(frame.depth),
+        kf_kpt_valid=state.kf_kpt_valid.at[slot].set(frame.valid),
+        kf_ids=state.kf_ids.at[slot].set(frame.ids),
+    )
+
+
+@jax.jit
+def op_add_points(
+    state: MapState,
+    slots: jnp.ndarray,  # (B,) int32 target slots (from arena)
+    use: jnp.ndarray,  # (B,) bool which rows are real
+    pos: jnp.ndarray,  # (B, 3)
+    normal: jnp.ndarray,  # (B, 3)
+    desc: jnp.ndarray,  # (B, 8) uint32
+    min_dist: jnp.ndarray,  # (B,)
+    max_dist: jnp.ndarray,  # (B,)
+    flags: jnp.ndarray,  # (B,) int32
+    creation_kf: jnp.ndarray,  # () int32
+) -> MapState:
+    """Batched point creation (counterpart Map::addNewPoint map.cpp:47).
+
+    Rows with use=False scatter into a scratch slot (P-1 is reserved? no —
+    they scatter to their own slot but with active=False preserved by
+    writing active=use)."""
+    safe = jnp.where(use, slots, state.P - 1)
+    # For inactive rows we still scatter to `safe` but re-write active with
+    # `use`; slot P-1 stays a scratch slot only if never allocated — the
+    # arena allocates lowest-first so P-1 is the last slot to be used.
+    return state._replace(
+        pt_pos=state.pt_pos.at[safe].set(jnp.where(use[:, None], pos, state.pt_pos[safe])),
+        pt_normal=state.pt_normal.at[safe].set(
+            jnp.where(use[:, None], normal, state.pt_normal[safe])
+        ),
+        pt_desc=state.pt_desc.at[safe].set(
+            jnp.where(use[:, None], desc, state.pt_desc[safe])
+        ),
+        pt_min_dist=state.pt_min_dist.at[safe].set(
+            jnp.where(use, min_dist, state.pt_min_dist[safe])
+        ),
+        pt_max_dist=state.pt_max_dist.at[safe].set(
+            jnp.where(use, max_dist, state.pt_max_dist[safe])
+        ),
+        pt_flags=state.pt_flags.at[safe].set(jnp.where(use, flags, state.pt_flags[safe])),
+        pt_n_seen=state.pt_n_seen.at[safe].set(jnp.where(use, 1, state.pt_n_seen[safe])),
+        pt_n_visible=state.pt_n_visible.at[safe].set(
+            jnp.where(use, 1, state.pt_n_visible[safe])
+        ),
+        pt_creation_kf=state.pt_creation_kf.at[safe].set(
+            jnp.where(use, creation_kf, state.pt_creation_kf[safe])
+        ),
+        pt_active=state.pt_active.at[safe].set(
+            jnp.where(use, True, state.pt_active[safe])
+        ),
+    )
+
+
+@jax.jit
+def op_set_observations(
+    state: MapState, kf_slot: jnp.ndarray, kpt_idx: jnp.ndarray, point_ids: jnp.ndarray
+) -> MapState:
+    """Assign kf keypoints -> map points (Map::addMapPointObservation).
+
+    kpt_idx (B,) int32 (−1 rows ignored), point_ids (B,) int32.
+    """
+    use = kpt_idx >= 0
+    safe_idx = jnp.where(use, kpt_idx, 0)
+    cur = state.kf_ids[kf_slot]
+    new = cur.at[safe_idx].set(jnp.where(use, point_ids, cur[safe_idx]))
+    return state._replace(kf_ids=state.kf_ids.at[kf_slot].set(new))
+
+
+@jax.jit
+def op_remove_points(state: MapState, remove_mask: jnp.ndarray) -> MapState:
+    """Deactivate points and clear their observations everywhere
+    (counterpart Map::removePoint + removeBadAssociations)."""
+    ids = state.kf_ids
+    obs_pt = jnp.where(ids >= 0, ids, 0)
+    dead = remove_mask[obs_pt] & (ids >= 0)
+    return state._replace(
+        pt_active=state.pt_active & ~remove_mask,
+        kf_ids=jnp.where(dead, -1, ids),
+    )
+
+
+@jax.jit
+def op_remove_keyframes(state: MapState, remove_mask: jnp.ndarray) -> MapState:
+    """Deactivate keyframes and drop their observations
+    (counterpart Map::removeKeyFrames map.cpp:187)."""
+    return state._replace(
+        kf_active=state.kf_active & ~remove_mask,
+        kf_ids=jnp.where(remove_mask[:, None], -1, state.kf_ids),
+        kf_kpt_valid=state.kf_kpt_valid & ~remove_mask[:, None],
+        kf_mk_slot=jnp.where(remove_mask[:, None], -1, state.kf_mk_slot),
+    )
+
+
+@jax.jit
+def op_point_observation_counts(state: MapState) -> jnp.ndarray:
+    """(P,) int32: number of active keyframes observing each point."""
+    ids = jnp.where(state.kf_active[:, None], state.kf_ids, -1)
+    flat = jnp.where(ids >= 0, ids, state.P).reshape(-1)
+    counts = jnp.zeros((state.P + 1,), jnp.int32).at[flat].add(1)
+    return counts[: state.P]
+
+
+@jax.jit
+def op_covis_matrix(state: MapState) -> jnp.ndarray:
+    """(K, K) int32 covisibility weights = #points co-observed.
+
+    Incidence matmul on the MXU: O (K, P) in bf16 {0,1}; covis = O O^T.
+    Counterpart of CovisGraph edge bookkeeping (covisgraph.h:63-64) — here
+    recomputed exactly from the observation store when needed.
+    """
+    onehot = _incidence(state)
+    covis = jnp.dot(onehot, onehot.T, preferred_element_type=jnp.float32)
+    covis = covis.astype(jnp.int32)
+    return covis * (1 - jnp.eye(state.K, dtype=jnp.int32))
+
+
+def _incidence(state: MapState) -> jnp.ndarray:
+    """(K, P) bf16 observation incidence matrix."""
+    ids = jnp.where(
+        state.kf_active[:, None] & (state.kf_ids >= 0), state.kf_ids, state.P
+    )
+    onehot = jnp.zeros((state.K, state.P + 1), jnp.bfloat16)
+    onehot = onehot.at[jnp.arange(state.K)[:, None], ids].set(1.0)
+    return onehot[:, : state.P]
+
+
+@jax.jit
+def _global_reproj_chi2_impl(state: MapState, cam: CameraParams) -> jnp.ndarray:
+    """Mean reprojection chi2 over all observations
+    (counterpart Map::globalReprojChi2 map.cpp:772)."""
+    ids = state.kf_ids  # (K, N)
+    obs_ok = (ids >= 0) & state.kf_active[:, None] & state.kf_kpt_valid
+    pt = state.pt_pos[jnp.where(ids >= 0, ids, 0)]  # (K, N, 3)
+    R = state.kf_pose[:, :3, :3]
+    t = state.kf_pose[:, :3, 3]
+    cam_pts = jnp.einsum("kij,knj->kni", R, pt) + t[:, None, :]
+    uv = cam.project(cam_pts)
+    r = uv - state.kf_xy
+    chi2 = jnp.sum(r * r, -1)
+    sigma2 = jnp.exp(
+        2.0 * state.kf_octave.astype(jnp.float32) * jnp.log(jnp.float32(1.2))
+    )
+    chi2 = chi2 / sigma2
+    obs_ok = obs_ok & (cam_pts[..., 2] > 0)
+    total = jnp.sum(jnp.where(obs_ok, chi2, 0.0))
+    count = jnp.sum(obs_ok)
+    return total / jnp.maximum(count, 1)
+
+
+@jax.jit
+def op_apply_transform(state: MapState, T: jnp.ndarray) -> MapState:
+    """Rigidly transform the whole map by T (global' = T @ global)
+    (counterpart Map::applyTransform)."""
+    R = T[:3, :3]
+    t = T[:3, 3]
+    new_pos = state.pt_pos @ R.T + t
+    new_normal = state.pt_normal @ R.T
+    T_inv = jnp.linalg.inv(T)
+    new_kf_pose = state.kf_pose @ T_inv
+    new_mk_pose = T @ state.mk_pose
+    return state._replace(
+        pt_pos=new_pos, pt_normal=new_normal, kf_pose=new_kf_pose, mk_pose=new_mk_pose
+    )
+
+
+@jax.jit
+def op_scale_map(state: MapState, scale: jnp.ndarray) -> MapState:
+    """Scale world (positions, translations, depths) by `scale`."""
+    kf_pose = state.kf_pose.at[:, :3, 3].multiply(scale)
+    mk_pose = state.mk_pose.at[:, :3, 3].multiply(scale)
+    return state._replace(
+        pt_pos=state.pt_pos * scale,
+        pt_min_dist=state.pt_min_dist * scale,
+        pt_max_dist=state.pt_max_dist * scale,
+        kf_pose=kf_pose,
+        kf_depth=state.kf_depth * scale,
+        mk_pose=mk_pose,
+    )
+
+
+# ----------------------------------------------------------------------
+# Host wrapper
+# ----------------------------------------------------------------------
+
+
+class Map:
+    """Host-side owner of MapState + slot arenas.
+
+    Mirrors the reference Map mutation API (map.h:86-92). All methods are
+    eager (sequential mode); batched jitted ops do the heavy lifting.
+    """
+
+    def __init__(self, params: Params | None = None):
+        self.params = params or Params()
+        self.state = empty_map_state(self.params)
+        self.points = Arena(self.params.maxMapPoints)
+        self.keyframes = Arena(self.params.maxKeyFrames)
+        self.markers = Arena(self.params.maxMarkers)
+
+    # -- keyframes ------------------------------------------------------
+    def add_keyframe(self, frame: Frame) -> int:
+        slot = self.keyframes.alloc()
+        self.state = op_add_keyframe(self.state, jnp.int32(slot), frame)
+        return slot
+
+    def remove_keyframes(self, slots) -> None:
+        mask = np.zeros(self.params.maxKeyFrames, bool)
+        mask[np.asarray(slots, int)] = True
+        self.state = op_remove_keyframes(self.state, jnp.asarray(mask))
+        self.keyframes.free(slots)
+
+    # -- points ---------------------------------------------------------
+    def add_points(
+        self, pos, normal, desc, min_dist, max_dist, flags, creation_kf: int, use=None
+    ) -> np.ndarray:
+        """Allocate + write up to B points; returns slot ids (-1 for unused)."""
+        pos = np.asarray(pos)
+        b = len(pos)
+        use = np.ones(b, bool) if use is None else np.asarray(use, bool)
+        n_new = int(use.sum())
+        slots_alloc = self.points.alloc_many(n_new)
+        slots = np.full(b, -1, np.int32)
+        slots[use] = slots_alloc
+        self.state = op_add_points(
+            self.state,
+            jnp.asarray(np.where(use, slots, 0).astype(np.int32)),
+            jnp.asarray(use),
+            jnp.asarray(pos, jnp.float32),
+            jnp.asarray(normal, jnp.float32),
+            jnp.asarray(desc, jnp.uint32),
+            jnp.asarray(min_dist, jnp.float32),
+            jnp.asarray(max_dist, jnp.float32),
+            jnp.asarray(flags, jnp.int32),
+            jnp.int32(creation_kf),
+        )
+        return slots
+
+    def remove_points(self, slots_or_mask) -> None:
+        mask = np.zeros(self.params.maxMapPoints, bool)
+        arr = np.asarray(slots_or_mask)
+        if arr.dtype == bool:
+            mask = arr
+        else:
+            mask[arr.astype(int)] = True
+        self.state = op_remove_points(self.state, jnp.asarray(mask))
+        self.points.free(np.nonzero(mask)[0])
+
+    def set_observations(self, kf_slot: int, kpt_idx, point_ids) -> None:
+        self.state = op_set_observations(
+            self.state,
+            jnp.int32(kf_slot),
+            jnp.asarray(kpt_idx, jnp.int32),
+            jnp.asarray(point_ids, jnp.int32),
+        )
+
+    # -- queries --------------------------------------------------------
+    @property
+    def n_points(self) -> int:
+        return self.points.n_active
+
+    @property
+    def n_keyframes(self) -> int:
+        return self.keyframes.n_active
+
+    def covis_matrix(self) -> np.ndarray:
+        return np.asarray(op_covis_matrix(self.state))
+
+    def point_observation_counts(self) -> np.ndarray:
+        return np.asarray(op_point_observation_counts(self.state))
+
+    def global_reproj_chi2(self, cam: CameraParams) -> float:
+        return float(_global_reproj_chi2_impl(self.state, cam))
+
+    def reference_keyframe(self, frame_pose: np.ndarray) -> int:
+        """Closest active keyframe by translation (getReferenceKeyFrame)."""
+        act = self.keyframes.active_slots()
+        if len(act) == 0:
+            return -1
+        poses = np.asarray(self.state.kf_pose)[act]
+        centers = -np.einsum("kji,kj->ki", poses[:, :3, :3], poses[:, :3, 3])
+        Rf = frame_pose[:3, :3]
+        cf = -Rf.T @ frame_pose[:3, 3]
+        d = np.linalg.norm(centers - cf, axis=1)
+        return int(act[int(np.argmin(d))])
+
+    def apply_transform(self, T) -> None:
+        self.state = op_apply_transform(self.state, jnp.asarray(T, jnp.float32))
+
+    def scale(self, s: float) -> None:
+        self.state = op_scale_map(self.state, jnp.float32(s))
+
+    # -- integrity ------------------------------------------------------
+    def check_consistency(self) -> None:
+        """Invariant sweep (counterpart Map::checkConsistency map.cpp:376)."""
+        st = self.state
+        ids = np.asarray(st.kf_ids)
+        kf_active = np.asarray(st.kf_active)
+        pt_active = np.asarray(st.pt_active)
+        assert (kf_active == self.keyframes.active).all(), "kf arena desync"
+        assert (pt_active == self.points.active).all(), "pt arena desync"
+        obs = ids[kf_active]
+        obs = obs[obs >= 0]
+        if len(obs):
+            assert pt_active[obs].all(), "observation of inactive point"
+
+    def signature(self) -> int:
+        """Deterministic content hash (counterpart Map::getSignature map.cpp:355).
+
+        Hashes the quantized active content in slot order; identical
+        logical maps produce identical signatures across runs.
+        """
+        st = self.state
+        h = hashlib.blake2b(digest_size=8)
+        for arr, quant in (
+            (st.pt_pos, 1e4),
+            (st.pt_active, None),
+            (st.kf_pose, 1e4),
+            (st.kf_active, None),
+            (st.kf_ids, None),
+            (st.mk_id, None),
+            (st.mk_pose, 1e4),
+        ):
+            a = np.asarray(arr)
+            if quant is not None:
+                a = np.round(a.astype(np.float64) * quant).astype(np.int64)
+            h.update(a.tobytes())
+        return int.from_bytes(h.digest(), "little")
