@@ -1,0 +1,96 @@
+"""Public facade tests: UcoSlam over images + save/load + global BA."""
+
+import numpy as np
+import pytest
+
+from ucoslam_tpu.api import UcoSlam
+from ucoslam_tpu.config import Mode, Params
+from ucoslam_tpu.geometry import ate_rmse
+from ucoslam_tpu.io import SyntheticSequence
+from ucoslam_tpu.io.serialize import load_map, save_map
+
+PARAMS = Params().replace(
+    maxMapPoints=4096,
+    maxKeyFrames=32,
+    maxKeyPointsPerFrame=512,
+    maxDescDistance=60.0,
+    detectMarkers=False,
+)
+
+
+def run_oracle(slam, seq, n=None):
+    poses = {}
+    for i in range(n or seq.n_frames):
+        p = slam.process_frame(seq.frame(i))
+        if p is not None:
+            poses[i] = p
+    return poses
+
+
+class TestFacade:
+    def test_oracle_slam_and_signature(self):
+        seq = SyntheticSequence(n_frames=30, seed=9)
+        slam = UcoSlam()
+        slam.setParams(None, PARAMS, seq.cam)
+        poses = run_oracle(slam, seq)
+        assert len(poses) > 25
+        sig = slam.getSignatureStr()
+        assert len(sig) == 16
+        # second identical run -> identical signature
+        slam2 = UcoSlam()
+        slam2.setParams(None, PARAMS, seq.cam)
+        run_oracle(slam2, SyntheticSequence(n_frames=30, seed=9))
+        assert slam2.getSignatureStr() == sig
+
+    def test_global_optimization_improves_chi2(self):
+        seq = SyntheticSequence(n_frames=30, seed=9)
+        slam = UcoSlam()
+        slam.setParams(None, PARAMS, seq.cam)
+        run_oracle(slam, seq)
+        chi_before = slam.map.global_reproj_chi2(seq.cam)
+        slam.globalOptimization(n_iters=20)
+        chi_after = slam.map.global_reproj_chi2(seq.cam)
+        assert chi_after <= chi_before * 1.05
+        assert chi_after < 2.0
+
+    def test_save_load_roundtrip(self, tmp_path):
+        seq = SyntheticSequence(n_frames=20, seed=9)
+        slam = UcoSlam()
+        slam.setParams(None, PARAMS, seq.cam)
+        run_oracle(slam, seq)
+        path = str(tmp_path / "session.slm")
+        slam.saveToFile(path)
+        sig = slam.map.signature()
+
+        m2 = load_map(path)
+        assert m2.signature() == sig
+        assert m2.n_points == slam.map.n_points
+        assert m2.n_keyframes == slam.map.n_keyframes
+
+        # resume: localization over the same sequence from the loaded map
+        slam2 = UcoSlam()
+        slam2.readFromFile(path, seq.cam)
+        slam2.setMode(Mode.LOCALIZATION)
+        poses = run_oracle(slam2, seq)
+        assert len(poses) > 15
+
+    def test_bad_magic_rejected(self, tmp_path):
+        p = tmp_path / "junk.slm"
+        p.write_bytes(b"not a map")
+        with pytest.raises(Exception):
+            load_map(str(p))
+
+    def test_image_pipeline_tracks(self):
+        """Full image path: render -> ORB -> SLAM (small but real)."""
+        seq = SyntheticSequence(
+            n_frames=8, seed=11, n_points=500, n_kpt_slots=512, motion_scale=0.45
+        )
+        params = PARAMS.replace(maxKeyPointsPerFrame=512, nOctaveLevels=4)
+        slam = UcoSlam()
+        slam.setParams(None, params, seq.cam)
+        tracked = 0
+        for i in range(seq.n_frames):
+            img = seq.render(i)
+            pose = slam.process(img, fseq=i)
+            tracked += pose is not None
+        assert tracked >= 4, f"tracked {tracked} of 8 image frames"

@@ -1,0 +1,183 @@
+"""Bundle adjustment tests: Schur LM convergence, map integration."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from ucoslam_tpu.config import Params
+from ucoslam_tpu.geometry import CameraParams, se3_exp, se3_apply
+from ucoslam_tpu.mapping import Map
+from ucoslam_tpu.mapping.frame import empty_frame
+from ucoslam_tpu.optim.ba import (
+    BAProblem,
+    ba_solve,
+    build_ba_problem,
+    global_bundle_adjustment,
+    local_bundle_adjustment,
+)
+
+RNG = np.random.default_rng(51)
+CAM = CameraParams.create(500.0, 500.0, 320.0, 240.0)
+
+
+def make_problem(n_kf=6, n_pt=150, noise_px=0.5, pose_noise=0.02, pt_noise=0.05,
+                 depth_frac=0.0, outlier_frac=0.0):
+    """Synthetic BA problem with every point seen by every keyframe."""
+    X = RNG.uniform(-2, 2, (n_pt, 3)).astype(np.float32)
+    X[:, 2] = RNG.uniform(4, 9, n_pt)
+    poses_true, obs = [], []
+    for k in range(n_kf):
+        xi = np.array([0.4 * k / n_kf - 0.2, 0.02 * k, 0.0, 0.0, -0.04 * k / n_kf, 0.0])
+        T = np.asarray(se3_exp(jnp.asarray(xi, jnp.float32)))
+        poses_true.append(T)
+        uv = np.asarray(CAM.project(se3_apply(jnp.asarray(T), jnp.asarray(X))))
+        obs.append(uv + RNG.normal(0, noise_px, uv.shape))
+    poses_true = np.stack(poses_true)
+
+    obs_cam = np.repeat(np.arange(n_kf, dtype=np.int32), n_pt)
+    obs_pt = np.tile(np.arange(n_pt, dtype=np.int32), n_kf)
+    obs_uv = np.concatenate(obs, 0).astype(np.float32)
+    if outlier_frac > 0:
+        out = RNG.random(len(obs_uv)) < outlier_frac
+        obs_uv[out] += RNG.uniform(20, 60, (int(out.sum()), 2))
+    obs_depth = np.zeros(len(obs_cam), np.float32)
+    if depth_frac > 0:
+        z = np.concatenate(
+            [np.asarray(se3_apply(jnp.asarray(T), jnp.asarray(X)))[:, 2] for T in poses_true]
+        )
+        sel = RNG.random(len(obs_cam)) < depth_frac
+        obs_depth[sel] = z[sel]
+
+    # perturbed initial state (first kf fixed at truth)
+    poses_init = poses_true.copy()
+    for k in range(1, n_kf):
+        xi = RNG.normal(0, pose_noise, 6).astype(np.float32)
+        poses_init[k] = np.asarray(se3_exp(jnp.asarray(xi))) @ poses_true[k]
+    X_init = X + RNG.normal(0, pt_noise, X.shape).astype(np.float32)
+
+    MO = n_kf
+    pt_obs = np.stack(
+        [np.arange(n_pt, dtype=np.int32) + k * n_pt for k in range(n_kf)], -1
+    )
+    problem = BAProblem(
+        cam_pose=jnp.asarray(poses_init),
+        cam_fixed=jnp.asarray(np.arange(n_kf) == 0),
+        cam_valid=jnp.ones(n_kf, bool),
+        pt_pos=jnp.asarray(X_init),
+        pt_valid=jnp.ones(n_pt, bool),
+        obs_cam=jnp.asarray(obs_cam),
+        obs_pt=jnp.asarray(obs_pt),
+        obs_uv=jnp.asarray(obs_uv),
+        obs_sigma2=jnp.ones(len(obs_cam)),
+        obs_depth=jnp.asarray(obs_depth),
+        obs_valid=jnp.ones(len(obs_cam), bool),
+        pt_obs=jnp.asarray(pt_obs),
+        bf=jnp.float32(50.0),
+    )
+    return problem, poses_true, X
+
+
+def centers(poses):
+    return np.stack([-T[:3, :3].T @ T[:3, 3] for T in poses])
+
+
+class TestBASolve:
+    def test_converges_mono(self):
+        from ucoslam_tpu.geometry import ate_rmse
+
+        problem, poses_true, X = make_problem()
+        res = ba_solve(problem, CAM, iters=20)
+        cost = np.asarray(res.cost_history)
+        # ~noise floor: 900 obs x 0.5 px^2 expected chi2, minus absorbed dof
+        assert cost[-1] < 450
+        assert cost[-1] < cost[0] * 0.99
+        # mono BA has a scale gauge: compare Horn-aligned camera centers
+        ate = ate_rmse(centers(np.asarray(res.cam_pose)), centers(poses_true))
+        assert ate < 2e-3, f"aligned center ATE {ate}"
+
+    def test_fixed_camera_stays(self):
+        problem, poses_true, _ = make_problem()
+        res = ba_solve(problem, CAM, iters=10)
+        np.testing.assert_array_equal(
+            np.asarray(res.cam_pose[0]), np.asarray(problem.cam_pose[0])
+        )
+
+    def test_outliers_flagged(self):
+        from ucoslam_tpu.geometry import ate_rmse
+
+        problem, poses_true, X = make_problem(outlier_frac=0.1)
+        res = ba_solve(problem, CAM, iters=25)
+        bad = np.asarray(res.obs_bad)
+        ate = ate_rmse(centers(np.asarray(res.cam_pose)), centers(poses_true))
+        assert ate < 5e-3, f"aligned center ATE {ate}"
+        assert bad.sum() > 0
+
+    def test_stereo_fixes_scale(self):
+        from ucoslam_tpu.geometry import ate_rmse
+
+        problem, poses_true, X = make_problem(depth_frac=0.5, noise_px=0.2)
+        res = ba_solve(problem, CAM, iters=20)
+        # stereo observations pin the scale: compare WITHOUT scale alignment
+        ate = ate_rmse(
+            centers(np.asarray(res.cam_pose)), centers(poses_true), with_scale=False
+        )
+        assert ate < 5e-3, f"metric center ATE {ate}"
+
+
+class TestMapIntegration:
+    def _build_map(self, n_kf=5, n_pt=200):
+        params = Params().replace(
+            maxMapPoints=1024, maxKeyFrames=16, maxKeyPointsPerFrame=256
+        )
+        m = Map(params)
+        X = RNG.uniform(-2, 2, (n_pt, 3)).astype(np.float32)
+        X[:, 2] = RNG.uniform(4, 9, n_pt)
+        desc = RNG.integers(0, 2**32, (n_pt, 8), dtype=np.uint32)
+        dist = np.linalg.norm(X, axis=1)
+        slots = m.add_points(
+            X, X / dist[:, None], desc, dist / 1.2**7, dist * 1.1,
+            np.zeros(n_pt, np.int32), 0,
+        )
+        poses = []
+        for k in range(n_kf):
+            xi = np.array([0.5 * k / n_kf, 0.0, 0.0, 0.0, -0.05 * k / n_kf, 0.0], np.float32)
+            T = np.asarray(se3_exp(jnp.asarray(xi)))
+            poses.append(T)
+            uv = np.asarray(CAM.project(se3_apply(jnp.asarray(T), jnp.asarray(X)))).copy()
+            uv += RNG.normal(0, 0.3, uv.shape)
+            f = empty_frame(256)._replace(
+                fseq=jnp.int32(k),
+                und_xy=jnp.asarray(np.pad(uv, ((0, 56), (0, 0))).astype(np.float32)),
+                desc=jnp.asarray(np.vstack([desc, np.zeros((56, 8), np.uint32)])),
+                valid=jnp.asarray(np.arange(256) < n_pt),
+                ids=jnp.asarray(np.concatenate([slots, np.full(56, -1)]).astype(np.int32)),
+                pose_f2g=jnp.asarray(T),
+            )
+            m.add_keyframe(f)
+        return m, np.stack(poses), X, slots
+
+    def test_global_ba_reduces_chi2_after_corruption(self):
+        m, poses, X, slots = self._build_map()
+        # corrupt the map: jiggle points and poses 1..n
+        st = m.state
+        pt = np.asarray(st.pt_pos).copy()
+        pt[slots] += RNG.normal(0, 0.05, (len(slots), 3))
+        kf = np.asarray(st.kf_pose).copy()
+        for k in range(1, 5):
+            kf[k] = np.asarray(se3_exp(jnp.asarray(RNG.normal(0, 0.01, 6).astype(np.float32)))) @ kf[k]
+        m.state = st._replace(pt_pos=jnp.asarray(pt), kf_pose=jnp.asarray(kf))
+        chi_before = m.global_reproj_chi2(CAM)
+        n_bad = global_bundle_adjustment(m, CAM, n_iters=25)
+        chi_after = m.global_reproj_chi2(CAM)
+        assert chi_after < chi_before * 0.05, (chi_before, chi_after)
+        assert chi_after < 1.0
+
+    def test_local_ba_runs(self):
+        m, poses, X, slots = self._build_map()
+        st = m.state
+        pt = np.asarray(st.pt_pos).copy()
+        pt[slots] += RNG.normal(0, 0.03, (len(slots), 3))
+        m.state = st._replace(pt_pos=jnp.asarray(pt))
+        chi_before = m.global_reproj_chi2(CAM)
+        local_bundle_adjustment(m, CAM, center_kf=4)
+        chi_after = m.global_reproj_chi2(CAM)
+        assert chi_after < chi_before

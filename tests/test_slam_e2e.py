@@ -1,0 +1,107 @@
+"""End-to-end SLAM on synthetic oracle sequences (the golden-sequence gate).
+
+Counterpart of the reference's tests/test_sequence.cpp protocol, with
+synthetic ground truth instead of TUM videos (SURVEY.md §4)."""
+
+import numpy as np
+import pytest
+
+from ucoslam_tpu.config import Mode, Params
+from ucoslam_tpu.geometry import ate_rmse
+from ucoslam_tpu.io import SyntheticSequence
+from ucoslam_tpu.slam import System
+
+PARAMS = Params().replace(
+    maxMapPoints=4096,
+    maxKeyFrames=32,
+    maxKeyPointsPerFrame=512,
+    maxDescDistance=60.0,
+    ransacIters=256,
+)
+
+
+def run_sequence(seq, params=PARAMS, mode=Mode.SLAM, system=None):
+    sys_ = system or System(params, seq.cam)
+    sys_.set_mode(mode)
+    poses = {}
+    for i in range(seq.n_frames):
+        pose = sys_.process_frame(seq.frame(i))
+        if pose is not None:
+            poses[i] = pose
+    return sys_, poses
+
+
+def centers_of(poses: dict):
+    idx = sorted(poses)
+    c = []
+    for i in idx:
+        T = poses[i]
+        c.append(-T[:3, :3].T @ T[:3, 3])
+    return idx, np.stack(c)
+
+
+class TestMonocular:
+    def test_tracks_and_maps(self):
+        seq = SyntheticSequence(n_frames=40, seed=1)
+        sys_, poses = run_sequence(seq)
+        # tracked almost all frames (first frame is the init reference)
+        assert len(poses) >= 0.9 * (seq.n_frames - 2), f"tracked {len(poses)}"
+        idx, est = centers_of(poses)
+        gt = seq.gt_positions()[idx]
+        ate = ate_rmse(est, gt, with_scale=True)  # mono: scale-aligned
+        assert ate < 0.05, f"ATE {ate}"
+        assert sys_.map.n_keyframes >= 2
+        assert sys_.map.n_points > 200
+        sys_.map.check_consistency()
+
+    def test_deterministic_signature(self):
+        seq1 = SyntheticSequence(n_frames=25, seed=3)
+        seq2 = SyntheticSequence(n_frames=25, seed=3)
+        sys1, poses1 = run_sequence(seq1)
+        sys2, poses2 = run_sequence(seq2)
+        assert sys1.global_signature() == sys2.global_signature()
+        for i in poses1:
+            np.testing.assert_array_equal(poses1[i], poses2[i])
+
+    def test_localization_mode_after_mapping(self):
+        seq = SyntheticSequence(n_frames=40, seed=1)
+        sys_, _ = run_sequence(seq)
+        n_pts = sys_.map.n_points
+        n_kf = sys_.map.n_keyframes
+        sys_.set_mode(Mode.LOCALIZATION)
+        sys_.reset_tracker()
+        _, poses2 = run_sequence(seq, system=sys_, mode=Mode.LOCALIZATION)
+        # map must be untouched in localization mode
+        assert sys_.map.n_points == n_pts and sys_.map.n_keyframes == n_kf
+        assert len(poses2) >= 0.9 * seq.n_frames
+        idx, est = centers_of(poses2)
+        ate = ate_rmse(est, seq.gt_positions()[idx], with_scale=True)
+        assert ate < 0.05
+
+
+class TestRGBD:
+    def test_tracks_with_true_scale(self):
+        seq = SyntheticSequence(n_frames=30, seed=5, depth_mode="rgbd")
+        sys_, poses = run_sequence(seq)
+        assert len(poses) >= 0.9 * (seq.n_frames - 1)
+        idx, est = centers_of(poses)
+        gt = seq.gt_positions()[idx]
+        # depth gives metric scale: align WITHOUT scale correction
+        ate = ate_rmse(est, gt, with_scale=False)
+        assert ate < 0.05, f"metric ATE {ate}"
+
+
+class TestRecovery:
+    def test_relocalizes_after_gap(self):
+        seq = SyntheticSequence(n_frames=40, seed=7)
+        sys_ = System(PARAMS, seq.cam)
+        lost_frames = set(range(18, 24))
+        tracked_after = 0
+        for i in range(seq.n_frames):
+            if i in lost_frames:
+                sys_.reset_tracker()  # simulate tracking loss
+                continue
+            pose = sys_.process_frame(seq.frame(i))
+            if i >= 24 and pose is not None:
+                tracked_after += 1
+        assert tracked_after >= 0.8 * (seq.n_frames - 24), f"only {tracked_after}"

@@ -49,10 +49,15 @@ def so3_exp(phi: jnp.ndarray) -> jnp.ndarray:
 
 
 def so3_log(R: jnp.ndarray) -> jnp.ndarray:
-    """(..., 3, 3) -> (..., 3). Inverse of so3_exp for theta in [0, pi)."""
+    """(..., 3, 3) -> (..., 3). Inverse of so3_exp for theta in [0, pi).
+
+    theta comes from atan2(|vee(R - R^T)|/2, (tr-1)/2) rather than arccos:
+    arccos has an infinite derivative at theta -> 0, which poisons autodiff
+    through log at (near-)identity (the pose-graph Jacobians differentiate
+    through here at convergence).
+    """
     trace = R[..., 0, 0] + R[..., 1, 1] + R[..., 2, 2]
     cos_t = ((trace - 1.0) * 0.5).clip(-1.0, 1.0)
-    theta = jnp.arccos(cos_t)
     w = jnp.stack(
         [
             R[..., 2, 1] - R[..., 1, 2],
@@ -61,7 +66,8 @@ def so3_log(R: jnp.ndarray) -> jnp.ndarray:
         ],
         -1,
     )
-    sin_t = jnp.sin(theta)
+    sin_t = 0.5 * jnp.sqrt(jnp.sum(w * w, -1) + _EPS * _EPS)
+    theta = jnp.arctan2(sin_t, cos_t)
     scale = jnp.where(theta < 1e-4, 0.5 + theta * theta / 12.0, theta / (2.0 * sin_t.clip(_EPS)))
     # Near theta = pi the vee formula degenerates; use the diagonal route.
     near_pi = theta > 3.0

@@ -1,0 +1,143 @@
+"""ArUco marker detection producing FrameMarkers.
+
+Counterpart of the reference's vendored aruco detector
+(3rdparty/aruco/aruco/markerdetector.h:88,276) configured by
+aruco_Dictionary / aruco_DetectionMode / aruco_CornerRefimentMethod
+(ucoslamtypes.h:120-122). Per SURVEY.md §2.2, a host-side detector is the
+v1 design (image-morphology heavy, small cost); corner refinement comes
+from the detector and pose pairs come from our batched JAX IPPE.
+
+Backend: OpenCV's aruco module when available (it ships the reference's
+default ARUCO_MIP_36h12 dictionary); otherwise detection is disabled and
+the SLAM pipeline runs keypoints-only (the reference behaves the same with
+detectMarkers=false).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from ucoslam_tpu.geometry.camera import CameraParams
+from ucoslam_tpu.mapping.frame import MAX_MARKERS_PER_FRAME, FrameMarkers, empty_markers
+from ucoslam_tpu.markers.ippe import ippe_square_poses
+
+_DICT_MAP = {
+    "ARUCO_MIP_36h12": "DICT_ARUCO_MIP_36h12",
+    "ARUCO": "DICT_ARUCO_ORIGINAL",
+    "ARUCO_ORIGINAL": "DICT_ARUCO_ORIGINAL",
+    "TAG36h11": "DICT_APRILTAG_36h11",
+    "4X4_250": "DICT_4X4_250",
+    "6X6_250": "DICT_6X6_250",
+}
+
+
+class ArucoDetector:
+    def __init__(self, dictionary: str = "ARUCO_MIP_36h12", marker_size: float = 1.0,
+                 corner_refine: str = "CORNER_SUBPIX"):
+        self.marker_size = float(marker_size)
+        try:
+            import cv2
+            import cv2.aruco as aruco
+        except ImportError:  # keypoints-only operation
+            self._detector = None
+            return
+        name = _DICT_MAP.get(dictionary, dictionary)
+        dict_obj = aruco.getPredefinedDictionary(getattr(aruco, name))
+        params = aruco.DetectorParameters()
+        if corner_refine == "CORNER_SUBPIX":
+            params.cornerRefinementMethod = aruco.CORNER_REFINE_SUBPIX
+        elif corner_refine == "CORNER_LINES":
+            params.cornerRefinementMethod = aruco.CORNER_REFINE_CONTOUR
+        self._cv2 = cv2
+        self._detector = aruco.ArucoDetector(dict_obj, params)
+
+    @property
+    def available(self) -> bool:
+        return self._detector is not None
+
+    def detect(self, img: np.ndarray, cam: CameraParams) -> FrameMarkers:
+        """Detect markers; fill corners, undistorted corners, IPPE poses."""
+        if self._detector is None:
+            return empty_markers()
+        gray = img
+        if gray.ndim == 3:
+            gray = self._cv2.cvtColor(gray.astype(np.uint8), self._cv2.COLOR_BGR2GRAY)
+        gray = np.clip(gray, 0, 255).astype(np.uint8)
+        corners, ids, _ = self._detector.detectMarkers(gray)
+        out = empty_markers()
+        if ids is None or len(ids) == 0:
+            return out
+        n = min(len(ids), MAX_MARKERS_PER_FRAME)
+        corner_arr = np.zeros((MAX_MARKERS_PER_FRAME, 4, 2), np.float32)
+        id_arr = np.full(MAX_MARKERS_PER_FRAME, -1, np.int32)
+        for i in range(n):
+            corner_arr[i] = corners[i].reshape(4, 2)
+            id_arr[i] = int(ids[i])
+        valid = np.arange(MAX_MARKERS_PER_FRAME) < n
+
+        und = cam.undistort_points(jnp.asarray(corner_arr)) if cam.has_distortion() \
+            else jnp.asarray(corner_arr)
+        sizes = jnp.full((MAX_MARKERS_PER_FRAME,), self.marker_size, jnp.float32)
+        p1, p2, e1, e2 = ippe_square_poses(und, sizes, cam)
+        err_ratio = jnp.where(jnp.asarray(valid), e2 / jnp.clip(e1, 1e-9), 0.0)
+        return FrameMarkers(
+            id=jnp.asarray(id_arr),
+            corners=jnp.asarray(corner_arr),
+            und_corners=und,
+            pose1=p1,
+            pose2=p2,
+            err_ratio=err_ratio,
+            valid=jnp.asarray(valid),
+        )
+
+
+class SyntheticMarkerDetector:
+    """Oracle detector for tests: projects known marker poses to corners."""
+
+    def __init__(self, marker_poses_g2m: dict[int, np.ndarray], marker_size: float):
+        self.poses = marker_poses_g2m  # id -> (4, 4) marker->global
+        self.size = marker_size
+
+    def detect_at_pose(self, pose_f2g: np.ndarray, cam: CameraParams,
+                       noise: float = 0.0, rng=None) -> FrameMarkers:
+        from ucoslam_tpu.markers.ippe import marker_object_points
+
+        out = empty_markers()
+        corner_arr = np.zeros((MAX_MARKERS_PER_FRAME, 4, 2), np.float32)
+        id_arr = np.full(MAX_MARKERS_PER_FRAME, -1, np.int32)
+        obj = np.asarray(marker_object_points(jnp.float32(self.size)))
+        k = 0
+        for mid, g2m in sorted(self.poses.items()):
+            if k >= MAX_MARKERS_PER_FRAME:
+                break
+            T = pose_f2g @ g2m  # marker -> camera
+            pts_c = obj @ T[:3, :3].T + T[:3, 3]
+            if (pts_c[:, 2] <= 0.1).any():
+                continue
+            uv = np.asarray(cam.project(jnp.asarray(pts_c)))
+            if (
+                (uv[:, 0] < 0).any() or (uv[:, 0] >= cam.width).any()
+                or (uv[:, 1] < 0).any() or (uv[:, 1] >= cam.height).any()
+            ):
+                continue
+            if noise > 0 and rng is not None:
+                uv = uv + rng.normal(0, noise, uv.shape)
+            corner_arr[k] = uv
+            id_arr[k] = mid
+            k += 1
+        if k == 0:
+            return out
+        valid = np.arange(MAX_MARKERS_PER_FRAME) < k
+        und = jnp.asarray(corner_arr)
+        sizes = jnp.full((MAX_MARKERS_PER_FRAME,), self.size, jnp.float32)
+        p1, p2, e1, e2 = ippe_square_poses(und, sizes, cam)
+        return FrameMarkers(
+            id=jnp.asarray(id_arr),
+            corners=jnp.asarray(corner_arr),
+            und_corners=und,
+            pose1=p1,
+            pose2=p2,
+            err_ratio=jnp.where(jnp.asarray(valid), e2 / jnp.clip(e1, 1e-9), 0.0),
+            valid=jnp.asarray(valid),
+        )

@@ -141,6 +141,7 @@ def topk_grid(
     ph, pw = gh * cell, gw * cell
     s = jnp.pad(score, ((0, ph - h), (0, pw - w)))
     cells = s.reshape(gh, cell, gw, cell).transpose(0, 2, 1, 3).reshape(gh * gw, cell * cell)
+    k_per_cell = min(k_per_cell, cell * cell)
     vals, idx = jax.lax.top_k(cells, k_per_cell)  # (C, k)
     cy = (jnp.arange(gh * gw) // gw) * cell
     cx = (jnp.arange(gh * gw) % gw) * cell
@@ -149,6 +150,12 @@ def topk_grid(
     flat_vals = vals.reshape(-1)
     flat_x = xs.reshape(-1)
     flat_y = ys.reshape(-1)
+    if flat_vals.size < total_k:
+        # tiny image: fewer candidate slots than requested keypoints
+        pad = total_k - flat_vals.size
+        flat_vals = jnp.pad(flat_vals, (0, pad))
+        flat_x = jnp.pad(flat_x, (0, pad))
+        flat_y = jnp.pad(flat_y, (0, pad))
     top_vals, top_i = jax.lax.top_k(flat_vals, total_k)
     xy = jnp.stack([flat_x[top_i], flat_y[top_i]], -1).astype(jnp.float32)
     valid = top_vals > 0.0

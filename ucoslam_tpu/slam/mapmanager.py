@@ -1,0 +1,217 @@
+"""Local mapping: keyframe insertion, new-point creation, culling, fusion.
+
+Counterpart of the reference MapManager (mapmanager.cpp, obfuscated; behavior
+per SURVEY.md §3.3): per new keyframe — addKeyFrame (:1953), recent-point
+culling, epipolar matching with covis neighbours -> triangulation
+(:3728-3816,10093) bounded by maxNewPoints, stereo direct points, duplicate
+fusion (:8720-9189), keyframe culling by redundancy (:6098), local BA
+(:10815), loop closure. In sequential mode (our default) this runs inline
+between frames, matching the reference's deterministic runSequential path.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from ucoslam_tpu.config import Params
+from ucoslam_tpu.geometry.camera import CameraParams
+from ucoslam_tpu.geometry.epipolar import fundamental_from_poses
+from ucoslam_tpu.geometry.triangulate import triangulate_checked
+from ucoslam_tpu.mapping.frame import Frame
+from ucoslam_tpu.mapping.map import FLAG_STEREO, Map
+from ucoslam_tpu.matching.matcher import match_frames_epipolar
+
+
+def _frame_from_kf(world_map: Map, slot: int) -> Frame:
+    """Materialize a keyframe slot back into a Frame view."""
+    st = world_map.state
+    from ucoslam_tpu.mapping.frame import empty_markers
+
+    return Frame(
+        fseq=st.kf_fseq[slot],
+        xy=st.kf_xy[slot],
+        und_xy=st.kf_xy[slot],
+        octave=st.kf_octave[slot],
+        angle=jnp.zeros((st.N,), jnp.float32),
+        response=jnp.zeros((st.N,), jnp.float32),
+        desc=st.kf_desc[slot],
+        depth=st.kf_depth[slot],
+        valid=st.kf_kpt_valid[slot],
+        ids=st.kf_ids[slot],
+        pose_f2g=st.kf_pose[slot],
+        markers=empty_markers(),
+    )
+
+
+class MapManager:
+    """Sequential-mode local mapping driven by the System."""
+
+    def __init__(self, params: Params, cam: CameraParams):
+        self.params = params
+        self.cam = cam
+        self.kf_counter = 0
+
+    # ------------------------------------------------------------------
+    def new_keyframe(self, world_map: Map, frame: Frame) -> int:
+        """Insert `frame` as a keyframe and grow the map around it."""
+        p = self.params
+        kf_slot = world_map.add_keyframe(frame)
+        self.kf_counter += 1
+
+        self._create_stereo_points(world_map, kf_slot, frame)
+        self._create_epipolar_points(world_map, kf_slot, frame)
+        self._cull_recent_points(world_map)
+        if world_map.n_keyframes >= 3:
+            from ucoslam_tpu.optim.ba import local_bundle_adjustment
+
+            local_bundle_adjustment(world_map, self.cam, kf_slot, n_iters=10)
+        return kf_slot
+
+    # ------------------------------------------------------------------
+    def _create_stereo_points(self, world_map: Map, kf_slot: int, frame: Frame):
+        """Direct points from per-keypoint depth (stereo/RGB-D), for
+        unassigned keypoints with valid close depth (ref get3dStereoPoint)."""
+        depth = np.asarray(frame.depth)
+        valid = (
+            np.asarray(frame.valid)
+            & (depth > 0)
+            & (np.asarray(frame.ids) < 0)
+        )
+        if self.cam.bl > 0:
+            valid &= depth < 40.0 * self.cam.bl
+        idx = np.nonzero(valid)[0]
+        if len(idx) == 0:
+            return
+        cap = self.params.maxNewPoints
+        if len(idx) > cap:
+            resp = np.asarray(frame.response)[idx]
+            idx = idx[np.argsort(-resp)[:cap]]
+        cam_pts = np.asarray(self.cam.unproject(frame.und_xy, frame.depth))[idx]
+        T = np.asarray(frame.pose_f2g)
+        R, t = T[:3, :3], T[:3, 3]
+        world_pts = (cam_pts - t) @ R  # R^T (x - t)
+        center = -R.T @ t
+        rays = world_pts - center
+        dist = np.linalg.norm(rays, axis=1).clip(1e-9)
+        octave = np.asarray(frame.octave)[idx]
+        sf = self.params.scaleFactor
+        max_d = dist * sf**octave
+        min_d = max_d / sf ** (self.params.nOctaveLevels - 1)
+        avail = self.params.maxMapPoints - world_map.n_points
+        if avail <= 0:
+            return
+        idx = idx[:avail]
+        k = len(idx)
+        slots = world_map.add_points(
+            pos=world_pts[:k],
+            normal=(rays / dist[:, None])[:k],
+            desc=np.asarray(frame.desc)[idx],
+            min_dist=min_d[:k],
+            max_dist=max_d[:k],
+            flags=np.full(k, FLAG_STEREO, np.int32),
+            creation_kf=self.kf_counter,
+        )
+        world_map.set_observations(kf_slot, idx.astype(np.int32), slots)
+
+    # ------------------------------------------------------------------
+    def _create_epipolar_points(self, world_map: Map, kf_slot: int, frame: Frame):
+        """Triangulate new points against the best covisible neighbours."""
+        p = self.params
+        covis = world_map.covis_matrix()
+        weights = covis[kf_slot].copy()
+        weights[kf_slot] = 0
+        order = np.argsort(-weights)
+        neighbours = [int(s) for s in order[:2] if weights[s] >= 10]
+        budget = p.maxNewPoints
+        cur = _frame_from_kf(world_map, kf_slot)
+        for nb in neighbours:
+            if budget <= 0:
+                break
+            other = _frame_from_kf(world_map, nb)
+            # baseline check: skip neighbours with tiny baseline (mono)
+            T1 = np.asarray(cur.pose_f2g)
+            T2 = np.asarray(other.pose_f2g)
+            c1 = -T1[:3, :3].T @ T1[:3, 3]
+            c2 = -T2[:3, :3].T @ T2[:3, 3]
+            baseline = float(np.linalg.norm(c1 - c2))
+            if baseline < 1e-4:
+                continue
+            F12 = fundamental_from_poses(
+                cur.pose_f2g, other.pose_f2g, self.cam, self.cam
+            )
+            sf = jnp.float32(p.scaleFactor)
+            sigma2_other = jnp.exp(
+                2.0 * other.octave.astype(jnp.float32) * jnp.log(sf)
+            )
+            matches = match_frames_epipolar(
+                cur, other, F12, sigma2_other,
+                jnp.float32(p.maxDescDistance), only_unassigned=True,
+            )
+            mvalid = np.asarray(matches.valid)
+            if mvalid.sum() == 0:
+                continue
+            t_idx = jnp.where(matches.valid, matches.train_idx, 0)
+            uv1 = cur.und_xy
+            uv2 = other.und_xy[t_idx]
+            sigma2_1 = jnp.exp(2.0 * cur.octave.astype(jnp.float32) * jnp.log(sf))
+            sigma2_2 = sigma2_other[t_idx]
+            X, ok = triangulate_checked(
+                uv1, uv2, cur.pose_f2g, other.pose_f2g, self.cam, self.cam,
+                sigma2_1, sigma2_2,
+            )
+            ok = np.asarray(ok) & mvalid
+            idx1 = np.nonzero(ok)[0]
+            if len(idx1) == 0:
+                continue
+            if len(idx1) > budget:
+                idx1 = idx1[:budget]
+            avail = p.maxMapPoints - world_map.n_points
+            if avail <= 0:
+                break
+            idx1 = idx1[:avail]
+            idx2 = np.asarray(matches.train_idx)[idx1]
+            Xn = np.asarray(X)[idx1]
+            T = np.asarray(cur.pose_f2g)
+            center = -T[:3, :3].T @ T[:3, 3]
+            rays = Xn - center
+            dist = np.linalg.norm(rays, axis=1).clip(1e-9)
+            octave = np.asarray(cur.octave)[idx1]
+            max_d = dist * p.scaleFactor**octave
+            min_d = max_d / p.scaleFactor ** (p.nOctaveLevels - 1)
+            slots = world_map.add_points(
+                pos=Xn,
+                normal=rays / dist[:, None],
+                desc=np.asarray(cur.desc)[idx1],
+                min_dist=min_d,
+                max_dist=max_d,
+                flags=np.zeros(len(idx1), np.int32),
+                creation_kf=self.kf_counter,
+            )
+            world_map.set_observations(kf_slot, idx1.astype(np.int32), slots)
+            world_map.set_observations(nb, idx2.astype(np.int32), slots)
+            budget -= len(idx1)
+            # refresh current view so next neighbour sees assignments
+            cur = _frame_from_kf(world_map, kf_slot)
+
+    # ------------------------------------------------------------------
+    def _cull_recent_points(self, world_map: Map):
+        """Remove unreliable recent points (ref: visibility-ratio culling).
+
+        A point is culled if (a) seen/visible ratio < 0.25 after being in
+        the map for >= 2 keyframes, or (b) it is older than 3 keyframes and
+        observed by fewer than minNumProjPoints keyframes.
+        """
+        st = world_map.state
+        active = np.asarray(st.pt_active)
+        if not active.any():
+            return
+        n_seen = np.asarray(st.pt_n_seen).astype(np.float32)
+        n_vis = np.asarray(st.pt_n_visible).astype(np.float32).clip(1)
+        age = self.kf_counter - np.asarray(st.pt_creation_kf)
+        obs_counts = world_map.point_observation_counts()
+        bad_ratio = (n_seen / n_vis < 0.25) & (age >= 2)
+        bad_obs = (age >= 3) & (obs_counts < self.params.minNumProjPoints)
+        cull = active & (bad_ratio | bad_obs)
+        if cull.any():
+            world_map.remove_points(cull)

@@ -1,0 +1,179 @@
+"""Per-frame tracking: projection matching + robust pose refinement.
+
+Counterpart of the tracking half of the reference System (system.cpp, per
+SURVEY.md §3.2): pose prior from the motion model, map-point projection
+matching (Map::matchFrameToMapPoints anchor system.cpp:5339), motion-only
+LM refine (PnPSolver::solvePnp :5381), and BoW/brute-force relocalization
+when lost (:4923-5292).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ucoslam_tpu.config import Params
+from ucoslam_tpu.geometry.camera import CameraParams
+from ucoslam_tpu.mapping.frame import Frame
+from ucoslam_tpu.mapping.map import Map, MapState
+from ucoslam_tpu.matching.projection import match_points_to_frame
+from ucoslam_tpu.ops.hamming import (
+    INVALID_DIST,
+    filter_ambiguous_train_sized,
+    hamming_matrix,
+    match_best2,
+)
+from ucoslam_tpu.optim.pnp import motion_only_lm, pnp_ransac
+
+
+class TrackResult(NamedTuple):
+    ok: bool
+    pose_f2g: jnp.ndarray
+    frame: Frame  # with ids assigned for inlier matches
+    n_matches: int
+    n_inliers: int
+    matched_point_slots: np.ndarray  # (n,) int32 slots of inlier points
+
+
+@jax.jit
+def _track_step(
+    state: MapState,
+    frame: Frame,
+    cam: CameraParams,
+    prior: jnp.ndarray,
+    proj_dist_thr: jnp.ndarray,
+    max_desc_dist: jnp.ndarray,
+    scale_factor: jnp.ndarray,
+):
+    """Jitted core: match active map points against the frame and refine."""
+    m = match_points_to_frame(
+        state.pt_pos,
+        state.pt_desc,
+        state.pt_normal,
+        state.pt_min_dist,
+        state.pt_max_dist,
+        state.pt_active,
+        frame,
+        cam,
+        prior,
+        proj_dist_thr,
+        max_desc_dist,
+        scale_factor,
+    )
+    # Build per-point observation arrays for the LM.
+    kidx = jnp.where(m.point_valid, m.kpt_idx, 0)
+    uv = frame.und_xy[kidx]
+    sigma2 = jnp.exp(
+        2.0 * frame.octave[kidx].astype(jnp.float32) * jnp.log(scale_factor)
+    )
+    res = motion_only_lm(
+        prior, state.pt_pos, uv, sigma2, m.point_valid, cam, iters=10, rounds=4
+    )
+    inlier = res.inliers & m.point_valid
+    # per-keypoint point ids for the frame (out-of-range scatter -> dropped)
+    P = state.pt_pos.shape[0]
+    pt_slots = jnp.arange(P, dtype=jnp.int32)
+    safe_k = jnp.where(inlier, m.kpt_idx, frame.n)
+    ids = jnp.full((frame.n,), -1, jnp.int32).at[safe_k].set(pt_slots, mode="drop")
+    # seen/visible counter updates (MapPoint statistics, mappoint.h:73-74)
+    n_visible_upd = state.pt_n_visible + (m.point_valid).astype(jnp.int32)
+    n_seen_upd = state.pt_n_seen + inlier.astype(jnp.int32)
+    return (
+        res.pose_f2g,
+        ids,
+        inlier,
+        m.n_matched,
+        res.n_inliers,
+        n_visible_upd,
+        n_seen_upd,
+    )
+
+
+@jax.jit
+def _reloc_match(state: MapState, frame: Frame, max_desc_dist: jnp.ndarray):
+    """Brute-force 3D-2D candidate matches for relocalization."""
+    d = hamming_matrix(state.pt_desc, frame.desc)  # (P, N)
+    idx, best, second = match_best2(
+        d,
+        valid_rows=state.pt_active,
+        valid_cols=frame.valid,
+    )
+    accept = (best <= max_desc_dist) & (
+        best.astype(jnp.float32) < 0.75 * second.astype(jnp.float32)
+    )
+    keep = filter_ambiguous_train_sized(
+        idx, jnp.where(accept, best, INVALID_DIST), frame.n
+    )
+    return jnp.where(accept & keep, idx, -1), accept & keep
+
+
+class Tracker:
+    def __init__(self, params: Params, cam: CameraParams):
+        self.params = params
+        self.cam = cam
+        self._key = jax.random.PRNGKey(0xC0FFEE)
+
+    def track(self, world_map: Map, frame: Frame, prior: jnp.ndarray) -> TrackResult:
+        st = world_map.state
+        p = self.params
+        pose, ids, inlier, n_matched, n_inliers, n_vis, n_seen = _track_step(
+            st,
+            frame,
+            self.cam,
+            prior,
+            jnp.float32(p.projDistThr),
+            jnp.float32(p.maxDescDistance),
+            jnp.float32(p.scaleFactor),
+        )
+        n_inl = int(n_inliers)
+        if n_inl < 15:
+            # One retry with a widened search radius (the reference widens
+            # projDistThr when tracking weakens).
+            pose, ids, inlier, n_matched, n_inliers, n_vis, n_seen = _track_step(
+                st,
+                frame,
+                self.cam,
+                prior,
+                jnp.float32(p.projDistThr * 2.5),
+                jnp.float32(p.maxDescDistance),
+                jnp.float32(p.scaleFactor),
+            )
+            n_inl = int(n_inliers)
+        ok = n_inl >= 15
+        if ok:
+            world_map.state = st._replace(pt_n_visible=n_vis, pt_n_seen=n_seen)
+        slots = np.nonzero(np.asarray(inlier))[0].astype(np.int32)
+        return TrackResult(
+            ok=ok,
+            pose_f2g=pose,
+            frame=frame._replace(ids=ids, pose_f2g=pose),
+            n_matches=int(n_matched),
+            n_inliers=n_inl,
+            matched_point_slots=slots,
+        )
+
+    def relocalize(self, world_map: Map, frame: Frame) -> TrackResult:
+        """Brute-force descriptor reloc + RANSAC (DummyDataBase-style path;
+        BoW-indexed candidates arrive with the keyframe database)."""
+        st = world_map.state
+        p = self.params
+        kpt_idx, valid = _reloc_match(st, frame, jnp.float32(p.maxDescDistance))
+        safe = jnp.where(valid, kpt_idx, 0)
+        uv = frame.und_xy[safe]
+        sigma2 = jnp.exp(
+            2.0
+            * frame.octave[safe].astype(jnp.float32)
+            * jnp.log(jnp.float32(p.scaleFactor))
+        )
+        self._key, sub = jax.random.split(self._key)
+        res = pnp_ransac(
+            st.pt_pos, uv, sigma2, valid, self.cam, sub,
+            n_hypotheses=p.ransacIters,
+        )
+        if int(res.n_inliers) < 20:
+            return TrackResult(False, frame.pose_f2g, frame, 0, 0, np.zeros(0, np.int32))
+        # refine with projection tracking from the RANSAC pose
+        return self.track(world_map, frame, res.pose_f2g)
