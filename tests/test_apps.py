@@ -1,0 +1,126 @@
+"""CLI apps + dataset IO + viewer: end-to-end through the command line."""
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from ucoslam_tpu.io.datasets import (
+    TumSequence,
+    associate_trajectories,
+    kitti_to_tum,
+    load_trajectory_tum,
+    save_trajectory_tum,
+    write_synthetic_tum,
+    _quat_to_rot,
+    _rot_to_quat,
+)
+from ucoslam_tpu.io.synthetic import SyntheticSequence
+
+ENV = dict(os.environ, PALLAS_AXON_POOL_IPS="", JAX_PLATFORMS="cpu")
+
+
+def test_quat_roundtrip():
+    from ucoslam_tpu.geometry.se3 import so3_exp
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(5)
+    for _ in range(20):
+        R = np.asarray(so3_exp(jnp.asarray(rng.normal(0, 1, 3).astype(np.float32))))
+        q = _rot_to_quat(R)
+        R2 = _quat_to_rot(q)
+        np.testing.assert_allclose(R, R2, atol=1e-5)
+
+
+def test_trajectory_tum_roundtrip(tmp_path):
+    seq = SyntheticSequence(n_frames=5)
+    stamps = [i / 30.0 for i in range(5)]
+    poses = [seq.gt_pose(i) for i in range(5)]
+    p = str(tmp_path / "t.txt")
+    save_trajectory_tum(p, stamps, poses)
+    st, centers, quats = load_trajectory_tum(p)
+    assert len(st) == 5
+    gt_centers = seq.gt_positions()[:5]
+    np.testing.assert_allclose(centers, gt_centers, atol=1e-4)
+
+
+def test_associate():
+    a = np.asarray([0.0, 0.1, 0.2])
+    b = np.asarray([0.001, 0.105, 0.5])
+    pairs = associate_trajectories(a, b, max_dt=0.02)
+    assert pairs == [(0, 0), (1, 1)]
+
+
+def test_kitti_to_tum():
+    poses = np.tile(np.hstack([np.eye(3), np.zeros((3, 1))])[None], (4, 1, 1))
+    poses[:, 0, 3] = np.arange(4)
+    st, c, q = kitti_to_tum(poses)
+    assert c.shape == (4, 3) and (c[:, 0] == np.arange(4)).all()
+
+
+def test_write_and_open_tum(tmp_path):
+    pytest.importorskip("cv2")
+    seq = SyntheticSequence(n_frames=4, n_points=300)
+    root = str(tmp_path / "ds")
+    write_synthetic_tum(seq, root)
+    tum = TumSequence.open(root)
+    assert len(tum) == 4
+    img = tum.read_rgb(0)
+    assert img.shape[:2] == (480, 640)
+    assert tum.gt is not None and len(tum.gt[0]) == 4
+
+
+def test_viewer_snapshot():
+    from ucoslam_tpu.config import Params
+    from ucoslam_tpu.mapping import Map
+    from ucoslam_tpu.viz import MapViewer
+
+    m = Map(Params().replace(maxMapPoints=64, maxKeyFrames=8, maxKeyPointsPerFrame=32))
+    m.add_points(
+        np.random.default_rng(0).uniform(-1, 1, (10, 3)) + [0, 0, 5],
+        np.zeros((10, 3)), np.zeros((10, 8), np.uint32),
+        np.zeros(10), np.ones(10), np.zeros(10, np.int32), 0,
+    )
+    v = MapViewer(320, 240)
+    v.set("followCamera", "0")
+    img = v.snapshot(m, None)
+    assert img.shape == (240, 320, 3)
+    assert (img != 24).any()  # something was drawn
+    assert v.show(m) == 255  # headless
+
+
+@pytest.mark.slow
+def test_cli_two_pass_protocol(tmp_path):
+    """Full test_sequence CLI over a small synthetic run (subprocess)."""
+    out = str(tmp_path / "run")
+    r = subprocess.run(
+        [sys.executable, "-m", "ucoslam_tpu.apps.test_sequence",
+         "--synthetic", "10", "--out-dir", out],
+        env=ENV, capture_output=True, text=True, timeout=900,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "|@# Image 10/10" in r.stdout
+    assert "ATE=" in r.stdout
+    ate = float(r.stdout.split("ATE=")[-1].split()[0])
+    assert ate < 0.2, f"CLI two-pass ATE {ate}"
+    assert os.path.exists(os.path.join(out, "map.slm"))
+    assert os.path.exists(os.path.join(out, "trajectory.txt"))
+
+
+@pytest.mark.slow
+def test_cli_compare_logs(tmp_path):
+    seq = SyntheticSequence(n_frames=6)
+    stamps = [i / 30.0 for i in range(6)]
+    poses = [seq.gt_pose(i) for i in range(6)]
+    est = str(tmp_path / "est.txt")
+    gt = str(tmp_path / "gt.txt")
+    save_trajectory_tum(est, stamps, poses)
+    save_trajectory_tum(gt, stamps, poses)
+    r = subprocess.run(
+        [sys.executable, "-m", "ucoslam_tpu.apps.compare_logs", est, gt],
+        env=ENV, capture_output=True, text=True, timeout=300,
+    )
+    assert r.returncode == 0
+    assert "ATE=0.000" in r.stdout

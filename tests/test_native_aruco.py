@@ -1,0 +1,81 @@
+"""Native C++ ArUco detector tests (native/aruco_detector.cpp)."""
+
+import numpy as np
+import pytest
+
+from ucoslam_tpu.markers.native import detect_markers_native, native_available
+
+pytestmark = pytest.mark.skipif(
+    not native_available(), reason="native aruco library not built"
+)
+
+
+def render_scene(markers):
+    aruco = pytest.importorskip("cv2.aruco")
+    d = aruco.getPredefinedDictionary(aruco.DICT_ARUCO_MIP_36h12)
+    img = np.full((480, 640), 180, np.uint8)
+    for mid, (y, x, s) in markers.items():
+        img[y : y + s, x : x + s] = aruco.generateImageMarker(d, mid, s)
+    return img
+
+
+def test_detects_multiple_sizes():
+    img = render_scene({17: (80, 100, 120), 42: (250, 380, 96), 7: (330, 120, 72)})
+    ids, corners = detect_markers_native(img)
+    assert sorted(ids.tolist()) == [7, 17, 42]
+    assert corners.shape == (3, 4, 2)
+
+
+def test_corner_accuracy_vs_cv2():
+    cv2 = pytest.importorskip("cv2")
+    import cv2.aruco as aruco
+
+    img = render_scene({42: (150, 200, 100)})
+    ids, corners = detect_markers_native(img)
+    assert ids.tolist() == [42]
+    d = aruco.getPredefinedDictionary(aruco.DICT_ARUCO_MIP_36h12)
+    det = aruco.ArucoDetector(d, aruco.DetectorParameters())
+    cv_c, cv_ids, _ = det.detectMarkers(img)
+    ref = cv_c[0].reshape(4, 2)
+    errs = [np.abs(corners[0] - np.roll(ref, r, 0)).max() for r in range(4)]
+    assert min(errs) < 1.5, f"corner err {min(errs)}"
+
+
+def test_rotation_and_perspective():
+    cv2 = pytest.importorskip("cv2")
+    img = render_scene({17: (80, 100, 120), 7: (330, 120, 72)})
+    M = cv2.getRotationMatrix2D((320, 240), 30, 1.0)
+    rot = cv2.warpAffine(img, M, (640, 480), borderValue=180)
+    ids, _ = detect_markers_native(rot)
+    assert sorted(ids.tolist()) == [7, 17]
+    src = np.float32([[0, 0], [640, 0], [640, 480], [0, 480]])
+    dst = np.float32([[30, 20], [610, 60], [590, 470], [50, 430]])
+    P = cv2.getPerspectiveTransform(src, dst)
+    persp = cv2.warpPerspective(img, P, (640, 480), borderValue=180)
+    ids2, _ = detect_markers_native(persp)
+    assert sorted(ids2.tolist()) == [7, 17]
+
+
+def test_empty_and_noise_images():
+    ids, _ = detect_markers_native(np.full((240, 320), 128, np.uint8))
+    assert len(ids) == 0
+    rng = np.random.default_rng(0)
+    noise = rng.integers(0, 255, (240, 320)).astype(np.uint8)
+    ids, _ = detect_markers_native(noise)
+    assert len(ids) <= 1  # no systematic false positives
+
+
+def test_detector_facade_uses_native():
+    from ucoslam_tpu.geometry import CameraParams
+    from ucoslam_tpu.markers.detector import ArucoDetector
+
+    det = ArucoDetector("ARUCO_MIP_36h12", marker_size=0.5, backend="native")
+    assert det.available and det._native
+    cam = CameraParams.create(500.0, 500.0, 320.0, 240.0)
+    img = render_scene({7: (200, 260, 100)}).astype(np.float32)
+    mk = det.detect(img, cam)
+    v = np.asarray(mk.valid)
+    assert v.any()
+    assert int(np.asarray(mk.id)[v][0]) == 7
+    # IPPE attached a plausible pose (marker in front of the camera)
+    assert float(np.asarray(mk.pose1)[0][2, 3]) > 0

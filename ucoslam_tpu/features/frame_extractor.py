@@ -24,18 +24,41 @@ from ucoslam_tpu.ops.image import rgb_to_gray, bilinear_sample
 
 class FrameExtractor:
     def __init__(self, params: Params, cam: CameraParams, marker_detector=None):
+        from ucoslam_tpu.config import DescriptorType
+
         self.params = params
         self.cam = cam
-        self.orb = ORBExtractor(
-            max_features=params.maxKeyPointsPerFrame,
-            n_levels=params.nOctaveLevels,
-            scale_factor=params.scaleFactor,
-        )
+        if params.kpDescriptorType == DescriptorType.ORB:
+            self.orb = ORBExtractor(
+                max_features=params.maxKeyPointsPerFrame,
+                n_levels=params.nOctaveLevels,
+                scale_factor=params.scaleFactor,
+                # KPNonMaximaSuppresion thins the keypoint field -> smaller
+                # maps (reference semantics): one keypoint per coarse cell
+                cell=64 if params.KPNonMaximaSuppresion else 32,
+                k_per_cell=1 if params.KPNonMaximaSuppresion else 4,
+            )
+        else:
+            # Feature2DSerializable::create plug point: non-ORB descriptors
+            # route through the cv2-backed GridExtractor
+            from ucoslam_tpu.features.grid_extractor import GridExtractor
+
+            self.orb = GridExtractor(params)
         self.marker_detector = marker_detector
+        self._sensitivity_boost = 0.0  # autoAdjustKpSensitivity state
 
     def _base_frame(self, img: np.ndarray, fseq: int) -> Frame:
         gray = rgb_to_gray(jnp.asarray(img))
         kps = self.orb.detect_and_compute(gray)
+        if self.params.autoAdjustKpSensitivity:
+            # low-texture adaptation (ORBextractor::setSensitivity,
+            # ORBextractor.h:113): when the detector underfills its budget,
+            # lower the FAST threshold for subsequent frames; restore slowly
+            fill = float(np.asarray(kps.valid).mean())
+            if fill < 0.5 and getattr(self.orb, "fast_threshold", None):
+                self.orb.fast_threshold = max(3.0, self.orb.fast_threshold - 1.0)
+            elif fill > 0.9 and getattr(self.orb, "fast_threshold", 0) < 7.0:
+                self.orb.fast_threshold = min(7.0, self.orb.fast_threshold + 1.0)
         und = self.cam.undistort_points(kps.xy) if self.cam.has_distortion() else kps.xy
         f = empty_frame(self.params.maxKeyPointsPerFrame)
         f = f._replace(

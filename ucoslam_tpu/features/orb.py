@@ -28,8 +28,7 @@ from ucoslam_tpu.ops.image import (
     bilinear_sample,
     build_pyramid,
     gaussian_blur,
-    patch_moment_maps,
-    pyramid_shapes,
+    keypoint_moments,
 )
 
 PATCH_RADIUS = 15
@@ -104,7 +103,9 @@ class ORBExtractor:
         key = img.shape
         if key not in self._jit_cache:
             self._jit_cache[key] = jax.jit(self._detect_and_compute)
-        return self._jit_cache[key](img)
+        # threshold passed as a traced value: sensitivity adaptation
+        # (setSensitivity) must not trigger recompilation
+        return self._jit_cache[key](img, jnp.float32(self.fast_threshold))
 
     def sigma2(self, octave: jnp.ndarray) -> jnp.ndarray:
         """Per-keypoint measurement variance scale^2(octave) (ref frame.h:129)."""
@@ -112,8 +113,8 @@ class ORBExtractor:
         return jnp.exp(2.0 * octave.astype(jnp.float32) * log_s)
 
     # -- implementation -------------------------------------------------
-    def _detect_level(self, level_img: jnp.ndarray, budget: int):
-        score = fast_score_map(level_img, self.fast_threshold)
+    def _detect_level(self, level_img: jnp.ndarray, budget: int, threshold):
+        score = fast_score_map(level_img, threshold)
         score = nms3x3(score)
         h, w = level_img.shape
         ys = jnp.arange(h)[:, None]
@@ -129,10 +130,8 @@ class ORBExtractor:
         return xy, resp, valid
 
     def _orient(self, level_img: jnp.ndarray, xy: jnp.ndarray) -> jnp.ndarray:
-        m10, m01 = patch_moment_maps(level_img, PATCH_RADIUS)
-        xi = jnp.clip(xy[:, 0].astype(jnp.int32), 0, level_img.shape[1] - 1)
-        yi = jnp.clip(xy[:, 1].astype(jnp.int32), 0, level_img.shape[0] - 1)
-        return jnp.arctan2(m01[yi, xi], m10[yi, xi])
+        m10, m01 = keypoint_moments(level_img, xy, PATCH_RADIUS)
+        return jnp.arctan2(m01, m10)
 
     def _describe(self, blurred: jnp.ndarray, xy: jnp.ndarray, angle: jnp.ndarray):
         """Rotated BRIEF: sample 2x256 points per keypoint, compare, pack."""
@@ -150,12 +149,12 @@ class ORBExtractor:
         words = bits.reshape(-1, 8, 32) << shifts[None, None, :]
         return jnp.sum(words, axis=-1, dtype=jnp.uint32)  # (N, 8)
 
-    def _detect_and_compute(self, img: jnp.ndarray) -> Keypoints:
+    def _detect_and_compute(self, img: jnp.ndarray, threshold=7.0) -> Keypoints:
         levels = build_pyramid(img, self.n_levels, self.scale_factor)
         all_xy, all_resp, all_oct, all_ang, all_desc, all_valid = [], [], [], [], [], []
         for lv, level_img in enumerate(levels):
             budget = self.budgets[lv]
-            xy, resp, valid = self._detect_level(level_img, budget)
+            xy, resp, valid = self._detect_level(level_img, budget, threshold)
             ang = self._orient(level_img, xy)
             blurred = gaussian_blur(level_img)
             desc = self._describe(blurred, xy, ang)

@@ -59,6 +59,9 @@ class SyntheticSequence:
         depth_mode: str = "mono",  # mono | stereo | rgbd
         seed: int = 0,
         motion_scale: float = 1.0,
+        n_markers: int = 0,
+        marker_size: float = 0.5,
+        marker_noise: float = 0.2,
     ):
         self.cam = cam or CameraParams.create(
             500.0, 500.0, 320.0, 240.0, width=640, height=480, bl=0.1
@@ -70,17 +73,49 @@ class SyntheticSequence:
         self.depth_mode = depth_mode
         rng = np.random.default_rng(seed)
         self.rng = rng
-        # scene: blob slab at z in [4, 8] in world coords around origin
-        self.points = np.stack(
-            [
-                rng.uniform(-4, 4, n_points),
-                rng.uniform(-3, 3, n_points),
-                rng.uniform(4, 8, n_points),
-            ],
-            -1,
-        ).astype(np.float32)
+        if trajectory == "orbit_out":
+            # points on a surrounding cylinder shell (radius ~8): the camera
+            # orbits inside looking outward, so features leave the view and
+            # drift accumulates until the loop closes — the loop-closure
+            # test geometry
+            ang = rng.uniform(0, 2 * np.pi, n_points)
+            r = rng.uniform(7, 9, n_points)
+            self.points = np.stack(
+                [r * np.sin(ang), rng.uniform(-2.5, 2.5, n_points), r * np.cos(ang)],
+                -1,
+            ).astype(np.float32)
+        else:
+            # blob slab at z in [4, 8] in world coords around origin
+            self.points = np.stack(
+                [
+                    rng.uniform(-4, 4, n_points),
+                    rng.uniform(-3, 3, n_points),
+                    rng.uniform(4, 8, n_points),
+                ],
+                -1,
+            ).astype(np.float32)
         self.descs = rng.integers(0, 2**32, (n_points, 8), dtype=np.uint32)
         self.brightness = rng.uniform(80, 255, n_points).astype(np.float32)
+
+        # markers: tilted squares scattered across the blob slab
+        self.marker_size = marker_size
+        self.marker_noise = marker_noise
+        self._marker_detector = None
+        if n_markers > 0:
+            from ucoslam_tpu.geometry.se3 import se3_exp
+            from ucoslam_tpu.markers.detector import SyntheticMarkerDetector
+            import jax.numpy as _jnp
+
+            marker_poses = {}
+            for mid in range(n_markers):
+                xi = np.concatenate(
+                    [
+                        [rng.uniform(-2.5, 2.5), rng.uniform(-2, 2), rng.uniform(4.5, 6.5)],
+                        rng.uniform(-0.5, 0.5, 3),
+                    ]
+                ).astype(np.float32)
+                marker_poses[100 + mid] = np.asarray(se3_exp(_jnp.asarray(xi)))
+            self._marker_detector = SyntheticMarkerDetector(marker_poses, marker_size)
 
         # trajectory
         self.poses = []  # list of (4,4) pose_f2g (world -> camera)
@@ -95,6 +130,10 @@ class SyntheticSequence:
             elif trajectory == "loop":
                 ang = 2 * np.pi * s
                 eye = np.array([1.5 * np.sin(ang), 0.0, -0.5 + 1.0 * np.sin(ang / 2) ** 2])
+            elif trajectory == "orbit_out":
+                ang = 2 * np.pi * s
+                eye = np.array([2.0 * np.sin(ang), 0.0, 2.0 * np.cos(ang)])
+                center = eye + np.array([4.0 * np.sin(ang), 0.0, 4.0 * np.cos(ang)])
             else:
                 raise ValueError(trajectory)
             R, t = _lookat(eye, center)
@@ -153,6 +192,12 @@ class SyntheticSequence:
             valid=jnp.asarray(np.arange(self.n_kpt_slots) < n),
             depth=jnp.asarray(depth),
         )
+        if self._marker_detector is not None:
+            f = f._replace(
+                markers=self._marker_detector.detect_at_pose(
+                    T, self.cam, noise=self.marker_noise, rng=rng
+                )
+            )
         # stash the true point index of each slot for debugging/tests
         self.last_true_ids = np.concatenate([idx, np.full(self.n_kpt_slots - n, -1)])
         return f
@@ -160,6 +205,20 @@ class SyntheticSequence:
     def frames(self) -> Iterator[Frame]:
         for i in range(self.n_frames):
             yield self.frame(i)
+
+    def render_stereo(self, i: int):
+        """(left, right) rectified pair: right camera offset by baseline
+        along +x of the left camera."""
+        left = self.render(i)
+        T = self.poses[i].copy()
+        # right camera: x_r = x_l - bl (point coords shift by -bl in x)
+        T_r = T.copy()
+        T_r[0, 3] -= self.cam.bl
+        saved = self.poses[i]
+        self.poses[i] = T_r
+        right = self.render(i)
+        self.poses[i] = saved
+        return left, right
 
     def render(self, i: int) -> np.ndarray:
         """(H, W) float32 image: sharp textured quads (corner-rich imagery).

@@ -33,28 +33,56 @@ _DICT_MAP = {
 
 
 class ArucoDetector:
+    """Marker detector facade: native C++ backend first, cv2 fallback.
+
+    backend: "native" (native/aruco_detector.cpp — only ARUCO_MIP_36h12),
+    "cv2", or "auto".
+    """
+
     def __init__(self, dictionary: str = "ARUCO_MIP_36h12", marker_size: float = 1.0,
-                 corner_refine: str = "CORNER_SUBPIX"):
+                 corner_refine: str = "CORNER_SUBPIX", backend: str = "auto"):
         self.marker_size = float(marker_size)
-        try:
-            import cv2
-            import cv2.aruco as aruco
-        except ImportError:  # keypoints-only operation
-            self._detector = None
-            return
-        name = _DICT_MAP.get(dictionary, dictionary)
-        dict_obj = aruco.getPredefinedDictionary(getattr(aruco, name))
-        params = aruco.DetectorParameters()
-        if corner_refine == "CORNER_SUBPIX":
-            params.cornerRefinementMethod = aruco.CORNER_REFINE_SUBPIX
-        elif corner_refine == "CORNER_LINES":
-            params.cornerRefinementMethod = aruco.CORNER_REFINE_CONTOUR
-        self._cv2 = cv2
-        self._detector = aruco.ArucoDetector(dict_obj, params)
+        self._detector = None
+        self._native = False
+        if backend in ("auto", "native") and dictionary == "ARUCO_MIP_36h12":
+            from ucoslam_tpu.markers.native import native_available
+
+            if native_available():
+                self._native = True
+                self._detector = "native"
+        if self._detector is None and backend != "native":
+            try:
+                import cv2
+                import cv2.aruco as aruco
+            except ImportError:  # keypoints-only operation
+                return
+            name = _DICT_MAP.get(dictionary, dictionary)
+            dict_obj = aruco.getPredefinedDictionary(getattr(aruco, name))
+            params = aruco.DetectorParameters()
+            if corner_refine == "CORNER_SUBPIX":
+                params.cornerRefinementMethod = aruco.CORNER_REFINE_SUBPIX
+            elif corner_refine == "CORNER_LINES":
+                params.cornerRefinementMethod = aruco.CORNER_REFINE_CONTOUR
+            self._cv2 = cv2
+            self._detector = aruco.ArucoDetector(dict_obj, params)
 
     @property
     def available(self) -> bool:
         return self._detector is not None
+
+    def _detect_raw(self, gray: np.ndarray):
+        """-> (ids list, corners (n, 4, 2))."""
+        if self._native:
+            from ucoslam_tpu.markers.native import detect_markers_native
+
+            ids, corners = detect_markers_native(gray)
+            return list(ids), corners
+        corners, ids, _ = self._detector.detectMarkers(gray)
+        if ids is None or len(ids) == 0:
+            return [], np.zeros((0, 4, 2), np.float32)
+        return [int(i) for i in ids.ravel()], np.stack(
+            [c.reshape(4, 2) for c in corners]
+        )
 
     def detect(self, img: np.ndarray, cam: CameraParams) -> FrameMarkers:
         """Detect markers; fill corners, undistorted corners, IPPE poses."""
@@ -62,18 +90,20 @@ class ArucoDetector:
             return empty_markers()
         gray = img
         if gray.ndim == 3:
-            gray = self._cv2.cvtColor(gray.astype(np.uint8), self._cv2.COLOR_BGR2GRAY)
+            gray = (
+                0.114 * gray[..., 0] + 0.587 * gray[..., 1] + 0.299 * gray[..., 2]
+            )
         gray = np.clip(gray, 0, 255).astype(np.uint8)
-        corners, ids, _ = self._detector.detectMarkers(gray)
+        ids_l, corners_l = self._detect_raw(gray)
         out = empty_markers()
-        if ids is None or len(ids) == 0:
+        if not ids_l:
             return out
-        n = min(len(ids), MAX_MARKERS_PER_FRAME)
+        n = min(len(ids_l), MAX_MARKERS_PER_FRAME)
         corner_arr = np.zeros((MAX_MARKERS_PER_FRAME, 4, 2), np.float32)
         id_arr = np.full(MAX_MARKERS_PER_FRAME, -1, np.int32)
         for i in range(n):
-            corner_arr[i] = corners[i].reshape(4, 2)
-            id_arr[i] = int(ids[i])
+            corner_arr[i] = corners_l[i]
+            id_arr[i] = ids_l[i]
         valid = np.arange(MAX_MARKERS_PER_FRAME) < n
 
         und = cam.undistort_points(jnp.asarray(corner_arr)) if cam.has_distortion() \

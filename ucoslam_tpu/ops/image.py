@@ -36,18 +36,24 @@ def _conv2d_single(img: jnp.ndarray, kernel: jnp.ndarray, pad: str = "SAME") -> 
 
 
 def gaussian_blur(img: jnp.ndarray, ksize: int = 7, sigma: float = 2.0) -> jnp.ndarray:
-    """Separable Gaussian blur with edge replication at borders.
+    """Separable Gaussian blur with reflect-101 borders.
 
     Matches cv2.GaussianBlur(img, (7,7), 2, 2, BORDER_REFLECT_101) closely
     enough for descriptor sampling (the reference blurs each level before
     computing rBRIEF).
+
+    Implemented as explicit shifted-slice weighted sums rather than
+    conv_general_dilated: XLA convs compile pathologically slowly on the
+    remote-compile TPU backend (~8 s per conv; the elementwise form
+    compiles in well under a second and fuses into one VPU sweep).
     """
-    k = jnp.asarray(gaussian_kernel1d(ksize, sigma))
+    k = gaussian_kernel1d(ksize, sigma)
     pad = ksize // 2
-    padded = jnp.pad(img, ((pad, pad), (0, 0)), mode="reflect")
-    tmp = _conv2d_single(padded, k[:, None], pad="VALID")
-    padded = jnp.pad(tmp, ((0, 0), (pad, pad)), mode="reflect")
-    return _conv2d_single(padded, k[None, :], pad="VALID")
+    h, w = img.shape
+    p = jnp.pad(img, ((pad, pad), (0, 0)), mode="reflect")
+    tmp = sum(float(k[i]) * p[i : i + h, :] for i in range(ksize))
+    p = jnp.pad(tmp, ((0, 0), (pad, pad)), mode="reflect")
+    return sum(float(k[i]) * p[:, i : i + w] for i in range(ksize))
 
 
 def pyramid_shapes(h: int, w: int, n_levels: int, scale_factor: float):
@@ -77,9 +83,10 @@ def patch_moment_maps(img: jnp.ndarray, radius: int = 15):
     """Dense intensity-centroid moment maps over a circular patch.
 
     Returns (m10, m01): each (H, W), where m10[y, x] = sum_{(u,v) in disc}
-    u * I[y+v, x+u] — the moments used by ORB's IC-angle (the reference
-    computes these per keypoint; we compute them densely as two convolutions
-    so orientation is a gather afterwards).
+    u * I[y+v, x+u] — the moments used by ORB's IC-angle. NOTE: this dense
+    conv form is a CPU/test reference; the production extractor computes
+    moments only at keypoint locations via `keypoint_moments` (a 31x31
+    conv takes minutes to compile on the remote TPU backend).
     """
     d = 2 * radius + 1
     ys, xs = np.mgrid[-radius : radius + 1, -radius : radius + 1]
@@ -90,6 +97,31 @@ def patch_moment_maps(img: jnp.ndarray, radius: int = 15):
     # align with image offsets directly.
     m10 = _conv2d_single(img, jnp.asarray(kx))
     m01 = _conv2d_single(img, jnp.asarray(ky))
+    return m10, m01
+
+
+def keypoint_moments(img: jnp.ndarray, xy: jnp.ndarray, radius: int = 15):
+    """IC moments (m10, m01) at keypoint locations only.
+
+    xy: (N, 2) float pixel positions (rounded to int). Gathers the
+    (2r+1)^2 disc per keypoint — N x 961 loads instead of a dense conv,
+    which both runs and (crucially) compiles fast on TPU.
+    Returns (m10 (N,), m01 (N,)).
+    """
+    h, w = img.shape
+    ys, xs = np.mgrid[-radius : radius + 1, -radius : radius + 1]
+    disc = ((xs * xs + ys * ys) <= radius * radius).astype(np.float32)
+    kx = jnp.asarray((xs * disc).astype(np.float32).reshape(-1))
+    ky = jnp.asarray((ys * disc).astype(np.float32).reshape(-1))
+    dy = jnp.asarray(ys.reshape(-1))
+    dx = jnp.asarray(xs.reshape(-1))
+    xi = jnp.clip(jnp.round(xy[:, 0]).astype(jnp.int32), 0, w - 1)
+    yi = jnp.clip(jnp.round(xy[:, 1]).astype(jnp.int32), 0, h - 1)
+    gy = jnp.clip(yi[:, None] + dy[None, :], 0, h - 1)  # (N, D)
+    gx = jnp.clip(xi[:, None] + dx[None, :], 0, w - 1)
+    vals = img[gy, gx]  # (N, D)
+    m10 = vals @ kx
+    m01 = vals @ ky
     return m10, m01
 
 

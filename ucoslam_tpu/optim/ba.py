@@ -53,6 +53,15 @@ class BAProblem(NamedTuple):
     obs_valid: jnp.ndarray  # (O,) bool
     pt_obs: jnp.ndarray  # (P, MO) int32 obs index per point (-1 pad)
     bf: jnp.ndarray  # () baseline * fx
+    # fixed-landmark observations: marker corners whose world position is
+    # held constant this solve (MarkerEdgeOnlyProject-style, typesg2o.h:414;
+    # full marker SE3 vertices are a follow-up). Contribute only to the
+    # camera blocks — no Schur interaction.
+    fobs_cam: jnp.ndarray = None  # (F,) int32
+    fobs_xyz: jnp.ndarray = None  # (F, 3) world position (marker corner)
+    fobs_uv: jnp.ndarray = None  # (F, 2)
+    fobs_weight: jnp.ndarray = None  # (F,) information weight
+    fobs_valid: jnp.ndarray = None  # (F,) bool
 
 
 class BAResult(NamedTuple):
@@ -132,11 +141,49 @@ def _chi2_of(problem: BAProblem, cam_pose, pt_pos, cam):
     return jnp.sum(r * r * row_mask, -1) / problem.obs_sigma2.clip(1e-9), q
 
 
+def _fobs_residual_jac(problem: BAProblem, cam_pose, cam: CameraParams):
+    """Fixed-landmark (marker corner) residual (F, 2) and Jc (F, 2, 6)."""
+    T = cam_pose[problem.fobs_cam]
+    X = problem.fobs_xyz
+    R = T[:, :3, :3]
+    t = T[:, :3, 3]
+    q = jnp.einsum("oij,oj->oi", R, X) + t
+    z = q[:, 2].clip(1e-6)
+    inv_z = 1.0 / z
+    uv_hat = jnp.stack(
+        [cam.fx * q[:, 0] * inv_z + cam.cx, cam.fy * q[:, 1] * inv_z + cam.cy], -1
+    )
+    r = uv_hat - problem.fobs_uv
+    zero = jnp.zeros_like(inv_z)
+    J_proj = jnp.stack(
+        [
+            jnp.stack([cam.fx * inv_z, zero, -cam.fx * q[:, 0] * inv_z**2], -1),
+            jnp.stack([zero, cam.fy * inv_z, -cam.fy * q[:, 1] * inv_z**2], -1),
+        ],
+        -2,
+    )
+    J_pose = jnp.concatenate(
+        [jnp.broadcast_to(jnp.eye(3), q.shape[:1] + (3, 3)), -_hat(q)], -1
+    )
+    return r, J_proj @ J_pose, q
+
+
 def _robust_cost(problem: BAProblem, cam_pose, pt_pos, cam):
     c2, _ = _chi2_of(problem, cam_pose, pt_pos, cam)
     delta2 = jnp.where(problem.obs_depth > 0, CHI2_3D, CHI2_2D)
     rho = jnp.where(c2 <= delta2, c2, 2.0 * jnp.sqrt(delta2 * c2.clip(1e-12)) - delta2)
-    return jnp.sum(jnp.where(problem.obs_valid, rho, 0.0))
+    cost = jnp.sum(jnp.where(problem.obs_valid, rho, 0.0))
+    if problem.fobs_cam is not None:
+        r, _, _ = _fobs_residual_jac(problem, cam_pose, cam)
+        c2f = jnp.sum(r * r, -1) * problem.fobs_weight
+        from ucoslam_tpu.config import CHI2_8D
+
+        d8 = CHI2_8D / 4.0  # per-corner share of the 8-dof threshold
+        rhof = jnp.where(
+            c2f <= d8, c2f, 2.0 * jnp.sqrt(d8 * c2f.clip(1e-12)) - d8
+        )
+        cost = cost + jnp.sum(jnp.where(problem.fobs_valid, rhof, 0.0))
+    return cost
 
 
 @partial(jax.jit, static_argnames=("iters", "stages"))
@@ -174,6 +221,18 @@ def ba_solve(
         bc = jnp.zeros((K, 6)).at[problem.obs_cam].add(
             jnp.einsum("oij,oi,o->oj", Jc, r, w)
         )
+        if problem.fobs_cam is not None:
+            rf, Jf, _ = _fobs_residual_jac(problem, cam_pose, cam)
+            from ucoslam_tpu.config import CHI2_8D
+
+            c2f = jnp.sum(rf * rf, -1) * problem.fobs_weight
+            wf = (
+                problem.fobs_valid.astype(jnp.float32)
+                * problem.fobs_weight
+                * jnp.minimum(1.0, jnp.sqrt((CHI2_8D / 4.0) / c2f.clip(1e-12)))
+            )
+            Hcc = Hcc.at[problem.fobs_cam].add(jnp.einsum("oij,oik,o->ojk", Jf, Jf, wf))
+            bc = bc.at[problem.fobs_cam].add(jnp.einsum("oij,oi,o->oj", Jf, rf, wf))
         Hpp = jnp.zeros((P, 3, 3)).at[problem.obs_pt].add(
             jnp.einsum("oij,oik,o->ojk", Jp, Jp, w)
         )
@@ -378,21 +437,102 @@ def build_ba_problem(
         pt_obs[p, slot_fill[p]] = i
         slot_fill[p] += 1
 
+    # ---- shape bucketing: pad K/P/O up to coarse buckets so ba_solve
+    # compiles once per bucket instead of once per keyframe window --------
+    def bucket(n: int, quantum: int) -> int:
+        return max(quantum, -(-n // quantum) * quantum)
+
+    Kb = bucket(len(all_kfs), 8)
+    Pb = bucket(len(pt_slots), 512)
+    Ob = bucket(max(O, 1), 2048)
+
     cam_fixed = np.asarray([int(s) in fixed_set for s in all_kfs])
+    cam_pose = np.tile(np.eye(4, dtype=np.float32), (Kb, 1, 1))
+    cam_pose[: len(all_kfs)] = np.asarray(st.kf_pose)[all_kfs]
+    cam_fixed_p = np.ones(Kb, bool)  # padded cameras held fixed
+    cam_fixed_p[: len(all_kfs)] = cam_fixed
+    cam_valid_p = np.zeros(Kb, bool)
+    cam_valid_p[: len(all_kfs)] = True
+    pt_pos_p = np.zeros((Pb, 3), np.float32)
+    pt_pos_p[: len(pt_slots)] = np.asarray(st.pt_pos)[pt_slots]
+    pt_valid_p = np.zeros(Pb, bool)
+    pt_valid_p[: len(pt_slots)] = True
+
+    def pad_obs(x, fill=0):
+        out = np.full((Ob,) + x.shape[1:], fill, x.dtype)
+        out[:O] = x
+        return out
+
+    obs_valid_p = np.zeros(Ob, bool)
+    obs_valid_p[:O] = True
+    pt_obs_p = np.full((Pb, max_obs_per_point), -1, np.int32)
+    pt_obs_p[: len(pt_slots)] = pt_obs
+
+    # ---- marker corner observations (8D edges, globaloptimizer_g2o.cpp
+    # :277-352): corners of markers with valid map pose act as fixed world
+    # landmarks; information balanced against the keypoint edges by
+    # markersOptWeight / minMarkersForMaxWeight -------------------------
+    fobs_cam_l, fobs_xyz_l, fobs_uv_l = [], [], []
+    params_m = world_map.params
+    if params_m.detectMarkers:
+        from ucoslam_tpu.markers.ippe import marker_object_points
+
+        mk_pose = np.asarray(st.mk_pose)
+        mk_size = np.asarray(st.mk_size)
+        mk_pose_valid = np.asarray(st.mk_pose_valid)
+        kf_mk_slot = np.asarray(st.kf_mk_slot)
+        kf_mk_corners = np.asarray(st.kf_mk_corners)
+        seen_markers = set()
+        for ci, s in enumerate(all_kfs):
+            for j in range(kf_mk_slot.shape[1]):
+                slot = int(kf_mk_slot[s, j])
+                if slot < 0 or not mk_pose_valid[slot]:
+                    continue
+                obj = np.asarray(marker_object_points(jnp.float32(mk_size[slot])))
+                world = obj @ mk_pose[slot][:3, :3].T + mk_pose[slot][:3, 3]
+                for c in range(4):
+                    fobs_cam_l.append(ci)
+                    fobs_xyz_l.append(world[c])
+                    fobs_uv_l.append(kf_mk_corners[s, j, c])
+                seen_markers.add(slot)
+    F_real = len(fobs_cam_l)
+    Fb = bucket(max(F_real, 1), 128)
+    fobs_cam = np.zeros(Fb, np.int32)
+    fobs_xyz = np.zeros((Fb, 3), np.float32)
+    fobs_uv = np.zeros((Fb, 2), np.float32)
+    fobs_weight = np.zeros(Fb, np.float32)
+    fobs_valid = np.zeros(Fb, bool)
+    if F_real:
+        frac = params_m.markersOptWeight * min(
+            1.0, len(seen_markers) / max(params_m.minMarkersForMaxWeight, 1)
+        )
+        frac = min(frac, 0.95)
+        w_corner = (frac / (1.0 - frac)) * (max(O, 1) / F_real)
+        fobs_cam[:F_real] = fobs_cam_l
+        fobs_xyz[:F_real] = np.stack(fobs_xyz_l)
+        fobs_uv[:F_real] = np.stack(fobs_uv_l)
+        fobs_weight[:F_real] = w_corner
+        fobs_valid[:F_real] = True
+
     problem = BAProblem(
-        cam_pose=jnp.asarray(np.asarray(st.kf_pose)[all_kfs]),
-        cam_fixed=jnp.asarray(cam_fixed),
-        cam_valid=jnp.ones(len(all_kfs), bool),
-        pt_pos=jnp.asarray(np.asarray(st.pt_pos)[pt_slots]),
-        pt_valid=jnp.ones(len(pt_slots), bool),
-        obs_cam=jnp.asarray(obs_cam),
-        obs_pt=jnp.asarray(obs_pt),
-        obs_uv=jnp.asarray(obs_uv.astype(np.float32)),
-        obs_sigma2=jnp.asarray(obs_sigma2.astype(np.float32)),
-        obs_depth=jnp.asarray(obs_depth.astype(np.float32)),
-        obs_valid=jnp.ones(O, bool),
-        pt_obs=jnp.asarray(pt_obs),
+        cam_pose=jnp.asarray(cam_pose),
+        cam_fixed=jnp.asarray(cam_fixed_p),
+        cam_valid=jnp.asarray(cam_valid_p),
+        pt_pos=jnp.asarray(pt_pos_p),
+        pt_valid=jnp.asarray(pt_valid_p),
+        obs_cam=jnp.asarray(pad_obs(obs_cam)),
+        obs_pt=jnp.asarray(pad_obs(obs_pt)),
+        obs_uv=jnp.asarray(pad_obs(obs_uv.astype(np.float32))),
+        obs_sigma2=jnp.asarray(pad_obs(obs_sigma2.astype(np.float32), fill=1)),
+        obs_depth=jnp.asarray(pad_obs(obs_depth.astype(np.float32))),
+        obs_valid=jnp.asarray(obs_valid_p),
+        pt_obs=jnp.asarray(pt_obs_p),
         bf=jnp.float32(cam.bf),
+        fobs_cam=jnp.asarray(fobs_cam),
+        fobs_xyz=jnp.asarray(fobs_xyz),
+        fobs_uv=jnp.asarray(fobs_uv),
+        fobs_weight=jnp.asarray(fobs_weight),
+        fobs_valid=jnp.asarray(fobs_valid),
     )
     return problem, all_kfs, pt_slots
 
@@ -412,8 +552,10 @@ def apply_ba_result(
     """
     st = world_map.state
     st = st._replace(
-        kf_pose=st.kf_pose.at[jnp.asarray(kf_slots)].set(result.cam_pose),
-        pt_pos=st.pt_pos.at[jnp.asarray(pt_slots)].set(result.pt_pos),
+        kf_pose=st.kf_pose.at[jnp.asarray(kf_slots)].set(
+            result.cam_pose[: len(kf_slots)]
+        ),
+        pt_pos=st.pt_pos.at[jnp.asarray(pt_slots)].set(result.pt_pos[: len(pt_slots)]),
     )
     world_map.state = st
     n_bad = 0
@@ -423,7 +565,7 @@ def apply_ba_result(
             obs_cam = np.asarray(problem.obs_cam)[bad]
             obs_pt = np.asarray(problem.obs_pt)[bad]
             # clear those observations: find the keypoint indices again
-            kf_ids = np.asarray(world_map.state.kf_ids)
+            kf_ids = np.asarray(world_map.state.kf_ids).copy()
             for c, p in zip(obs_cam, obs_pt):
                 kf_slot = int(kf_slots[c])
                 pt_slot = int(pt_slots[p])

@@ -82,6 +82,145 @@ class MapInitializer:
         world_map.add_keyframe(frame)
         return True
 
+    # -- marker path (ARUCO_initialize, mapinitializer.cpp:2137) --------
+    def initialize_from_markers(self, frame: Frame, world_map: Map):
+        """Marker-based bootstrap with real scale.
+
+        One-frame init requires an unambiguous marker
+        (err_ratio > aruco_minerrratio_valid and
+        aruco_allowOneFrameInitialization); otherwise a two-frame
+        cross-view disambiguation against the stored reference frame.
+        Returns (ok, cur_frame) with the map seeded on success.
+        """
+        from ucoslam_tpu.slam.markermap import (
+            _reproj_corner_err,
+            record_marker_observations,
+            resolve_marker_slots,
+        )
+
+        p = self.params
+        mk = frame.markers
+        valid = np.asarray(mk.valid)
+        if not valid.any():
+            return False, frame
+        ratios = np.asarray(mk.err_ratio)
+        p1 = np.asarray(mk.pose1)
+        und = np.asarray(mk.und_corners)
+        ids = np.asarray(mk.id)
+        size = p.aruco_markerSize
+
+        # --- one-frame path ---
+        if p.aruco_allowOneFrameInitialization:
+            good = np.nonzero(valid & (ratios > p.aruco_minerrratio_valid))[0]
+            if len(good):
+                i = int(good[0])
+                cur = frame._replace(pose_f2g=jnp.eye(4, dtype=jnp.float32))
+                slots = resolve_marker_slots(world_map, mk)
+                st = world_map.state
+                world_map.state = st._replace(
+                    mk_pose=st.mk_pose.at[slots[i]].set(jnp.asarray(p1[i])),
+                    mk_pose_valid=st.mk_pose_valid.at[slots[i]].set(True),
+                )
+                kf = world_map.add_keyframe(cur)
+                record_marker_observations(world_map, kf, mk, slots)
+                return True, cur
+
+        # --- two-frame path ---
+        if self.ref_frame is None:
+            return False, frame
+        rmk = self.ref_frame.markers
+        rvalid = np.asarray(rmk.valid)
+        if not rvalid.any():
+            return False, frame
+        rids = np.asarray(rmk.id)
+        shared = [
+            (int(np.nonzero(rids == m)[0][0]), int(np.nonzero(ids == m)[0][0]))
+            for m in set(rids[rvalid]) & set(ids[valid])
+        ]
+        if not shared:
+            return False, frame
+        rp1, rp2 = np.asarray(rmk.pose1), np.asarray(rmk.pose2)
+        cp1, cp2 = np.asarray(mk.pose1), np.asarray(mk.pose2)
+        rund = np.asarray(rmk.und_corners)
+        ri, ci = shared[0]
+        best, best_err = None, np.inf
+        for g2m in (rp1[ri], rp2[ri]):  # ref camera is the global frame
+            for pose_c in (cp1[ci], cp2[ci]):
+                T_cur = pose_c @ np.linalg.inv(g2m)
+                err = _reproj_corner_err(
+                    g2m, np.eye(4, dtype=np.float32), rund[ri], size, self.cam
+                ) + _reproj_corner_err(g2m, T_cur, und[ci], size, self.cam)
+                if err < best_err:
+                    best, best_err = (g2m, T_cur), err
+        if best is None or best_err > 4.0:
+            return False, frame
+        # require baseline between the two views (or an unambiguous view)
+        g2m, T_cur = best
+        baseline = float(np.linalg.norm(T_cur[:3, 3] - np.zeros(3)))
+        unamb = (ratios[ci] > p.aruco_minerrratio_valid) or (
+            np.asarray(rmk.err_ratio)[ri] > p.aruco_minerrratio_valid
+        )
+        if baseline < p.minBaseLine * 0.5 and not unamb:
+            return False, frame
+
+        ref = self.ref_frame._replace(pose_f2g=jnp.eye(4, dtype=jnp.float32))
+        cur = frame._replace(pose_f2g=jnp.asarray(T_cur.astype(np.float32)))
+        slots_r = resolve_marker_slots(world_map, rmk)
+        st = world_map.state
+        world_map.state = st._replace(
+            mk_pose=st.mk_pose.at[slots_r[ri]].set(jnp.asarray(g2m.astype(np.float32))),
+            mk_pose_valid=st.mk_pose_valid.at[slots_r[ri]].set(True),
+        )
+        kf_r = world_map.add_keyframe(ref)
+        record_marker_observations(world_map, kf_r, rmk, slots_r)
+        slots_c = resolve_marker_slots(world_map, mk)
+        kf_c = world_map.add_keyframe(cur)
+        record_marker_observations(world_map, kf_c, mk, slots_c)
+        return True, cur
+
+    def marker_metric_scale(self, ref_markers, cur_markers) -> tuple | None:
+        """Metric (scale, g2m) from a marker seen in both init frames.
+
+        Used to convert a keypoint two-view init (precise geometry,
+        arbitrary scale) to real scale: the marker's IPPE poses give the
+        metric baseline between the two views. Returns (metric_baseline,
+        ref_marker_index, g2m) or None.
+        """
+        from ucoslam_tpu.slam.markermap import _reproj_corner_err
+
+        p = self.params
+        rvalid = np.asarray(ref_markers.valid)
+        cvalid = np.asarray(cur_markers.valid)
+        if not (rvalid.any() and cvalid.any()):
+            return None
+        rids = np.asarray(ref_markers.id)
+        cids = np.asarray(cur_markers.id)
+        shared = [
+            (int(np.nonzero(rids == m)[0][0]), int(np.nonzero(cids == m)[0][0]))
+            for m in set(rids[rvalid]) & set(cids[cvalid])
+        ]
+        if not shared:
+            return None
+        ri, ci = shared[0]
+        rp = (np.asarray(ref_markers.pose1)[ri], np.asarray(ref_markers.pose2)[ri])
+        cp = (np.asarray(cur_markers.pose1)[ci], np.asarray(cur_markers.pose2)[ci])
+        rund = np.asarray(ref_markers.und_corners)[ri]
+        cund = np.asarray(cur_markers.und_corners)[ci]
+        size = p.aruco_markerSize
+        best, best_err = None, np.inf
+        for g2m in rp:
+            for pose_c in cp:
+                T_cur = pose_c @ np.linalg.inv(g2m)
+                err = _reproj_corner_err(
+                    g2m, np.eye(4, dtype=np.float32), rund, size, self.cam
+                ) + _reproj_corner_err(g2m, T_cur, cund, size, self.cam)
+                if err < best_err:
+                    best, best_err = (g2m, T_cur), err
+        if best is None or best_err > 4.0:
+            return None
+        g2m, T_cur = best
+        return float(np.linalg.norm(T_cur[:3, 3])), ri, g2m.astype(np.float32)
+
     # -- keypoint two-view path -----------------------------------------
     def initialize_two_view(self, frame: Frame, world_map: Map):
         """Attempt 2-view init vs the stored reference frame.

@@ -48,9 +48,16 @@ class MapManager:
     """Sequential-mode local mapping driven by the System."""
 
     def __init__(self, params: Params, cam: CameraParams):
+        from ucoslam_tpu.mapping.kfdatabase import KeyFrameDataBase
+        from ucoslam_tpu.slam.loopclosure import LoopDetector
+
         self.params = params
         self.cam = cam
         self.kf_counter = 0
+        self.last_scale_correction = 1.0  # set when marker scale rescales the map
+        self.kfdb = KeyFrameDataBase(params.maxKeyFrames)
+        self.loop_detector = LoopDetector(params, cam, self.kfdb)
+        self.loop_closures = 0  # loops accepted (bigChange counter)
 
     # ------------------------------------------------------------------
     def new_keyframe(self, world_map: Map, frame: Frame) -> int:
@@ -59,14 +66,55 @@ class MapManager:
         kf_slot = world_map.add_keyframe(frame)
         self.kf_counter += 1
 
+        if p.detectMarkers and bool(np.asarray(frame.markers.valid).any()):
+            from ucoslam_tpu.slam.markermap import (
+                record_marker_observations,
+                resolve_marker_slots,
+                update_marker_poses,
+            )
+
+            slots = resolve_marker_slots(world_map, frame.markers)
+            record_marker_observations(world_map, kf_slot, frame.markers, slots)
+            update_marker_poses(world_map, self.cam, p)
+            # metric-scale correction from multi-view marker size fits
+            from ucoslam_tpu.slam.markermap import estimate_metric_scale
+
+            s = estimate_metric_scale(world_map, self.cam)
+            if s is not None and 0.5 < s < 2.0 and abs(s - 1.0) > 0.02:
+                world_map.scale(s)
+                self.last_scale_correction = s
+
         self._create_stereo_points(world_map, kf_slot, frame)
         self._create_epipolar_points(world_map, kf_slot, frame)
+        self._fuse_duplicates(world_map, kf_slot)
         self._cull_recent_points(world_map)
         if world_map.n_keyframes >= 3:
             from ucoslam_tpu.optim.ba import local_bundle_adjustment
 
             local_bundle_adjustment(world_map, self.cam, kf_slot, n_iters=10)
+        self._cull_keyframes(world_map, kf_slot)
+
+        # ---- loop closure (reference: mapping-thread loop detect) ----
+        self.kfdb.add(kf_slot, frame.desc, frame.valid)
+        self._detect_and_close_loop(world_map, kf_slot, frame)
         return kf_slot
+
+    # ------------------------------------------------------------------
+    def _detect_and_close_loop(self, world_map: Map, kf_slot: int, frame: Frame):
+        p = self.params
+        info = None
+        if p.detectMarkers:
+            info = self.loop_detector.detect_from_markers(world_map, kf_slot, frame)
+        if (info is None or not info.found) and p.detectKeyPoints:
+            info = self.loop_detector.detect_from_keypoints(world_map, kf_slot, frame)
+        if info is None or not info.found:
+            return
+        fix_scale = bool(np.asarray(world_map.state.kf_depth > 0).any())
+        if self.loop_detector.correct_map(world_map, info, fix_scale=fix_scale):
+            self.loop_closures += 1
+            from ucoslam_tpu.optim.ba import global_bundle_adjustment
+
+            global_bundle_adjustment(world_map, self.cam, n_iters=10)
 
     # ------------------------------------------------------------------
     def _create_stereo_points(self, world_map: Map, kf_slot: int, frame: Frame):
@@ -123,6 +171,12 @@ class MapManager:
         weights[kf_slot] = 0
         order = np.argsort(-weights)
         neighbours = [int(s) for s in order[:2] if weights[s] >= 10]
+        if not neighbours:
+            # marker-only bootstrap: no shared points yet — triangulate
+            # against the most recent other keyframe
+            others = [s for s in world_map.keyframes.active_slots() if s != kf_slot]
+            if others:
+                neighbours = [int(others[-1])]
         budget = p.maxNewPoints
         cur = _frame_from_kf(world_map, kf_slot)
         for nb in neighbours:
@@ -193,6 +247,80 @@ class MapManager:
             budget -= len(idx1)
             # refresh current view so next neighbour sees assignments
             cur = _frame_from_kf(world_map, kf_slot)
+
+    # ------------------------------------------------------------------
+    def _fuse_duplicates(self, world_map: Map, kf_slot: int):
+        """Merge duplicate map points seen by the new keyframe
+        (counterpart Map::fuseMapPoints, map.cpp:264; mapmanager.cpp:8720).
+
+        Projects covis-neighbour points into the new keyframe; when a
+        projected point lands on a keypoint already assigned to a DIFFERENT
+        point with a matching descriptor, the two are duplicates: keep the
+        one with more observations, rewrite all references to the loser.
+        """
+        from ucoslam_tpu.matching.projection import match_points_to_frame
+
+        st = world_map.state
+        cur = _frame_from_kf(world_map, kf_slot)
+        m = match_points_to_frame(
+            st.pt_pos, st.pt_desc, st.pt_normal, st.pt_min_dist, st.pt_max_dist,
+            st.pt_active, cur, self.cam, cur.pose_f2g,
+            jnp.float32(3.0),  # tight radius: only near-coincident points
+            jnp.float32(self.params.maxDescDistance * 0.6),
+            jnp.float32(self.params.scaleFactor),
+        )
+        kpt_idx = np.asarray(m.kpt_idx)
+        mvalid = np.asarray(m.point_valid)
+        ids = np.asarray(st.kf_ids)[kf_slot]
+        obs_counts = world_map.point_observation_counts()
+        kf_ids_all = None
+        fused = 0
+        for p in np.nonzero(mvalid)[0]:
+            k = kpt_idx[p]
+            q = ids[k]  # point currently assigned to that keypoint
+            if q < 0 or q == p:
+                continue
+            keep, lose = (p, q) if obs_counts[p] >= obs_counts[q] else (q, p)
+            if kf_ids_all is None:
+                kf_ids_all = np.asarray(st.kf_ids).copy()
+            kf_ids_all[kf_ids_all == lose] = keep
+            world_map.points.free([lose])
+            fused += 1
+        if fused:
+            world_map.state = world_map.state._replace(
+                kf_ids=jnp.asarray(kf_ids_all),
+                pt_active=jnp.asarray(world_map.points.active),
+            )
+
+    # ------------------------------------------------------------------
+    def _cull_keyframes(self, world_map: Map, kf_slot: int):
+        """Remove redundant keyframes (KFCulling, mapmanager.cpp:6098):
+        a covis neighbour whose tracked points are >= KFCulling-fraction
+        observed by >= 3 other keyframes is redundant."""
+        p = self.params
+        if p.KFCulling >= 1.0 or world_map.n_keyframes <= 3:
+            return
+        covis = world_map.covis_matrix()
+        obs_counts = world_map.point_observation_counts()
+        kf_ids = np.asarray(world_map.state.kf_ids)
+        candidates = [int(s) for s in np.nonzero(covis[kf_slot] > 0)[0] if s != kf_slot]
+        # never cull the two oldest (gauge anchors)
+        anchors = set(world_map.keyframes.active_slots()[:2].tolist())
+        to_remove = []
+        for s in candidates:
+            if s in anchors:
+                continue
+            ids = kf_ids[s]
+            obs = ids[ids >= 0]
+            if len(obs) < 10:
+                continue
+            redundant = (obs_counts[obs] >= 4).mean()
+            if redundant > p.KFCulling:
+                to_remove.append(s)
+                break  # at most one per round (the reference is incremental)
+        if to_remove:
+            world_map.remove_keyframes(to_remove)
+            self.kfdb.remove(to_remove)
 
     # ------------------------------------------------------------------
     def _cull_recent_points(self, world_map: Map):

@@ -30,6 +30,13 @@ class System:
         self.tracker = Tracker(params, cam)
         self.initializer = MapInitializer(params, cam)
         self.manager = MapManager(params, cam)
+        # resuming from a loaded map: rebuild the BoW keyframe database
+        # (the reference serializes it inside the map; ours is derived)
+        for s in self.map.keyframes.active_slots():
+            self.manager.kfdb.add(
+                int(s), self.map.state.kf_desc[int(s)],
+                self.map.state.kf_kpt_valid[int(s)],
+            )
         self.mode = Mode.SLAM
         self.state = TrackingState.LOST
         self.pose = None  # last pose_f2g (np 4x4) or None
@@ -67,6 +74,26 @@ class System:
         else:
             res = self.tracker.relocalize(self.map, frame)
 
+        if not res.ok and self.params.detectMarkers and (
+            self.params.reLocalizationWithMarkers or self.state == TrackingState.TRACKING
+        ):
+            # marker fallback: pose from observed markers with known map
+            # pose (Map::getBestPoseFromValidMarkers, map.cpp:1189), then
+            # retry keypoint tracking from that pose as prior
+            from ucoslam_tpu.slam.markermap import best_pose_from_valid_markers
+
+            mk_pose = best_pose_from_valid_markers(self.map, frame.markers, self.cam)
+            if mk_pose is not None:
+                retry = self.tracker.track(self.map, frame, jnp.asarray(mk_pose))
+                if retry.ok:
+                    res = retry
+                else:
+                    res = res._replace(
+                        ok=True,
+                        pose_f2g=jnp.asarray(mk_pose),
+                        frame=frame._replace(pose_f2g=jnp.asarray(mk_pose)),
+                    )
+
         if not res.ok:
             self.state = TrackingState.LOST
             self._log(frame, None, 0)
@@ -78,13 +105,57 @@ class System:
         self.frames_since_kf += 1
 
         if self.mode == Mode.SLAM and self._need_keyframe(res):
-            self.manager.new_keyframe(self.map, res.frame)
+            self.manager.last_scale_correction = 1.0
+            loops_before = self.manager.loop_closures
+            kf_slot = self.manager.new_keyframe(self.map, res.frame)
+            if self.manager.loop_closures != loops_before:
+                # bigChange (mapmanager.h:859): a loop moved the world under
+                # us — adopt the corrected keyframe pose, reset the motion
+                # model
+                pose = np.asarray(self.map.state.kf_pose[kf_slot]).copy()
+                self.pose = pose
+                self.prev_pose = None
+                self.velocity = np.eye(4, dtype=np.float32)
+            s = self.manager.last_scale_correction
+            if s != 1.0:
+                # the whole world (incl. this frame's pose) was rescaled
+                self.pose[:3, 3] *= s
+                if self.prev_pose is not None:
+                    self.prev_pose = self.prev_pose.copy()
+                    self.prev_pose[:3, 3] *= s
+                self.velocity = self.velocity.copy()
+                self.velocity[:3, 3] *= s
             self.frames_since_kf = 0
-            self.last_kf_inliers = res.n_inliers
+            # reference count = observations of the new keyframe AFTER
+            # mapping (tracked matches + newly triangulated points), so the
+            # thRefRatio trigger keeps firing during exploration
+            self.last_kf_inliers = max(
+                res.n_inliers,
+                int(np.asarray(self.map.state.kf_ids[kf_slot] >= 0).sum()),
+            )
         self._log(frame, pose, res.n_inliers)
         return pose
 
     def _try_initialize(self, frame: Frame) -> np.ndarray | None:
+        has_markers = self.params.detectMarkers and bool(
+            np.asarray(frame.markers.valid).any()
+        )
+        has_kpts = bool(np.asarray(frame.valid).any())
+
+        # Keypoint-poor, one-frame-allowed, or forced marker-only bootstrap
+        # (mapinitializer ARUCO_initialize :2137)
+        if has_markers and (
+            self.params.forceInitializationFromMarkers
+            or self.params.aruco_allowOneFrameInitialization
+            or not has_kpts
+        ):
+            ok, cur = self.initializer.initialize_from_markers(frame, self.map)
+            if ok:
+                return self._finish_init(frame, cur)
+        if self.params.forceInitializationFromMarkers:
+            self.initializer.set_reference_frame(frame)
+            self._log(frame, None, 0)
+            return None
         depth_frame = bool(np.asarray(frame.depth > 0).any())
         if depth_frame:
             if self.initializer.initialize_from_depth(frame, self.map):
@@ -100,19 +171,67 @@ class System:
             self.initializer.set_reference_frame(frame)
             self._log(frame, None, 0)
             return None
+        ref_markers = self.initializer.ref_frame.markers
         status, cur = self.initializer.initialize_two_view(frame, self.map)
         if status != "ok":
+            # marker-only fallback: only after the keypoint path has failed
+            # repeatedly (otherwise a zero-baseline marker init would beat
+            # a one-frame-later hybrid init with precise geometry)
+            self._init_failures = getattr(self, "_init_failures", 0) + 1
+            if has_markers and self._init_failures > 5:
+                ok, mcur = self.initializer.initialize_from_markers(frame, self.map)
+                if ok:
+                    return self._finish_init(frame, mcur)
             # Re-seed only when the scene moved on (too few matches); a
             # geometric failure usually means insufficient baseline yet.
             if status == "few_matches":
                 self.initializer.set_reference_frame(frame)
             self._log(frame, None, 0)
             return None
+
+        # hybrid: keypoint geometry + marker metric scale
+        # (the reference recovers real scale whenever markers are present)
+        if has_markers:
+            cur = self._apply_marker_scale(ref_markers, cur)
+        return self._finish_init(frame, cur)
+
+    def _apply_marker_scale(self, ref_markers, cur: Frame) -> Frame:
+        from ucoslam_tpu.slam.markermap import (
+            record_marker_observations,
+            resolve_marker_slots,
+        )
+
+        got = self.initializer.marker_metric_scale(ref_markers, cur.markers)
+        if got is None:
+            return cur
+        metric_baseline, ri, g2m = got
+        T_cur = np.asarray(cur.pose_f2g).copy()
+        map_baseline = float(np.linalg.norm(T_cur[:3, 3]))
+        if map_baseline < 1e-6 or metric_baseline < 1e-6:
+            return cur
+        s = metric_baseline / map_baseline
+        self.map.scale(s)
+        # register the marker (metric pose; global frame = ref camera is
+        # unaffected by the scaling)
+        kf_slots = self.map.keyframes.active_slots()
+        slots_r = resolve_marker_slots(self.map, ref_markers)
+        st = self.map.state
+        self.map.state = st._replace(
+            mk_pose=st.mk_pose.at[slots_r[ri]].set(jnp.asarray(g2m)),
+            mk_pose_valid=st.mk_pose_valid.at[slots_r[ri]].set(True),
+        )
+        record_marker_observations(self.map, int(kf_slots[0]), ref_markers, slots_r)
+        slots_c = resolve_marker_slots(self.map, cur.markers)
+        record_marker_observations(self.map, int(kf_slots[1]), cur.markers, slots_c)
+        T_cur[:3, 3] *= s
+        return cur._replace(pose_f2g=jnp.asarray(T_cur.astype(np.float32)))
+
+    def _finish_init(self, frame: Frame, cur: Frame) -> np.ndarray:
         self.state = TrackingState.TRACKING
         pose = np.asarray(cur.pose_f2g)
         self._update_motion_model(pose)
-        self.manager.kf_counter = 2
-        self.last_kf_inliers = int(np.asarray(cur.ids >= 0).sum())
+        self.manager.kf_counter = self.map.n_keyframes
+        self.last_kf_inliers = max(int(np.asarray(cur.ids >= 0).sum()), 30)
         self._log(frame, pose, self.last_kf_inliers)
         return pose
 
@@ -129,7 +248,20 @@ class System:
         starving = res.n_inliers < 0.5 * ref
         stale = self.frames_since_kf >= 20
         enough = res.n_inliers >= 20
-        return enough and (weak or starving or stale)
+        if enough and (weak or starving or stale):
+            return True
+        # marker-carried tracking (few/no keypoint inliers but markers with
+        # known pose observed): insert keyframes periodically so mapping can
+        # triangulate once baseline appears (the reference's marker keyframe
+        # policy via maxVisibleFramesPerMarker)
+        if (
+            p.detectMarkers
+            and res.n_inliers < 20
+            and self.frames_since_kf >= 4
+            and bool(np.asarray(res.frame.markers.valid).any())
+        ):
+            return True
+        return False
 
     def _log(self, frame, pose, n_inliers):
         self.stats_log.append(
