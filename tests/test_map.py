@@ -155,3 +155,35 @@ class TestMap:
         m.add_keyframe(f1)
         assert m.reference_keyframe(np.eye(4, dtype=np.float32)) == 0
         assert m.reference_keyframe(T1) == 1
+
+
+class TestPointStats:
+    def test_update_point_stats(self):
+        from ucoslam_tpu.mapping.map import op_update_point_stats
+
+        m = Map(SMALL)
+        X = np.asarray([[0.0, 0.0, 5.0], [1.0, 0.0, 6.0]], np.float32)
+        desc0 = np.zeros((2, 8), np.uint32)
+        slots = m.add_points(
+            X, np.zeros((2, 3)), desc0, np.ones(2), np.ones(2) * 2,
+            np.zeros(2, np.int32), 0,
+        )
+        rng = np.random.default_rng(3)
+        desc_kf = rng.integers(0, 2**32, (32, 8), dtype=np.uint32)
+        ids = np.full(32, -1, np.int32)
+        ids[:2] = slots
+        f = make_frame(ids=ids)._replace(desc=jnp.asarray(desc_kf))
+        m.add_keyframe(f)
+        st = op_update_point_stats(m.state, jnp.float32(1.2), jnp.int32(8))
+        # normal: viewing direction from origin camera to the point
+        n0 = np.asarray(st.pt_normal)[0]
+        np.testing.assert_allclose(n0, [0, 0, 1], atol=1e-5)
+        # scale bounds: max = dist * 1.2^0 = 5; min = 5 / 1.2^7
+        assert abs(float(st.pt_max_dist[0]) - 5.0) < 1e-3
+        assert abs(float(st.pt_min_dist[0]) - 5.0 / 1.2**7) < 1e-3
+        # representative descriptor adopted from the observing keyframe
+        np.testing.assert_array_equal(np.asarray(st.pt_desc)[0], desc_kf[0])
+        # untouched inactive slots stay put
+        np.testing.assert_array_equal(
+            np.asarray(st.pt_desc)[5], np.zeros(8, np.uint32)
+        )

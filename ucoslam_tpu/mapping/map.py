@@ -290,6 +290,69 @@ def _global_reproj_chi2_impl(state: MapState, cam: CameraParams) -> jnp.ndarray:
 
 
 @jax.jit
+def op_update_point_stats(
+    state: MapState, scale_factor: jnp.ndarray, n_levels: jnp.ndarray
+) -> MapState:
+    """Refresh per-point viewing normals, scale-invariance bounds and the
+    representative descriptor from the current observation set.
+
+    Counterpart of MapPoint::updateNormals/updateBestObservation semantics
+    (mappoint.h; the reference refreshes after BA via
+    updatePointNormalAndDistances, globaloptimizer_g2o.cpp:466-537 region).
+    Representative descriptor := the most recent observing keyframe's
+    descriptor (cheap stand-in for the min-median-distance medoid).
+    """
+    K, N, P = state.K, state.N, state.P
+    ids = jnp.where(
+        state.kf_active[:, None] & state.kf_kpt_valid & (state.kf_ids >= 0),
+        state.kf_ids,
+        P,
+    )  # (K, N) -> P = trash row
+    flat_ids = ids.reshape(-1)
+    R = state.kf_pose[:, :3, :3]
+    t = state.kf_pose[:, :3, 3]
+    centers = -jnp.einsum("kji,kj->ki", R, t)  # (K, 3)
+    X = state.pt_pos[jnp.where(flat_ids < P, flat_ids, 0)]  # (K*N, 3)
+    cen = jnp.repeat(centers, N, axis=0)  # (K*N, 3)
+    ray = X - cen
+    dist = jnp.linalg.norm(ray, axis=-1).clip(1e-9)
+    dirn = ray / dist[:, None]
+
+    sum_dir = jnp.zeros((P + 1, 3)).at[flat_ids].add(dirn)
+    cnt = jnp.zeros((P + 1,)).at[flat_ids].add(1.0)
+    normal = sum_dir[:P] / cnt[:P, None].clip(1.0)
+    nrm = jnp.linalg.norm(normal, axis=-1, keepdims=True)
+    normal = jnp.where(nrm > 1e-6, normal / nrm.clip(1e-9), state.pt_normal)
+
+    oct_flat = state.kf_octave.reshape(-1).astype(jnp.float32)
+    log_sf = jnp.log(scale_factor)
+    max_cand = dist * jnp.exp(oct_flat * log_sf)
+    max_d = jnp.full((P + 1,), -1e9).at[flat_ids].max(max_cand)
+    levels_span = jnp.exp((n_levels.astype(jnp.float32) - 1.0) * log_sf)
+    has_obs = cnt[:P] > 0
+    new_max = jnp.where(has_obs, max_d[:P], state.pt_max_dist)
+    new_min = jnp.where(has_obs, new_max / levels_span, state.pt_min_dist)
+
+    # representative descriptor: observation from the most recent keyframe
+    fseq_flat = jnp.repeat(state.kf_fseq, N)
+    best_seq = jnp.full((P + 1,), -1, jnp.int32).at[flat_ids].max(fseq_flat)
+    is_best = (fseq_flat == best_seq[jnp.where(flat_ids < P, flat_ids, P)]) & (
+        flat_ids < P
+    )
+    desc_flat = state.kf_desc.reshape(-1, 8)
+    tgt = jnp.where(is_best, flat_ids, P)
+    new_desc = jnp.zeros((P + 1, 8), jnp.uint32).at[tgt].max(desc_flat)
+    new_desc = jnp.where(has_obs[:, None], new_desc[:P], state.pt_desc)
+
+    return state._replace(
+        pt_normal=jnp.where(state.pt_active[:, None], normal, state.pt_normal),
+        pt_max_dist=jnp.where(state.pt_active, new_max, state.pt_max_dist),
+        pt_min_dist=jnp.where(state.pt_active, new_min, state.pt_min_dist),
+        pt_desc=jnp.where(state.pt_active[:, None], new_desc, state.pt_desc),
+    )
+
+
+@jax.jit
 def op_apply_transform(state: MapState, T: jnp.ndarray) -> MapState:
     """Rigidly transform the whole map by T (global' = T @ global)
     (counterpart Map::applyTransform)."""

@@ -92,6 +92,15 @@ class MapManager:
             from ucoslam_tpu.optim.ba import local_bundle_adjustment
 
             local_bundle_adjustment(world_map, self.cam, kf_slot, n_iters=10)
+        # refresh point normals / scale bounds / representative descriptors
+        # (updatePointNormalAndDistances, globaloptimizer_g2o.cpp:466-537)
+        from ucoslam_tpu.mapping.map import op_update_point_stats
+
+        world_map.state = op_update_point_stats(
+            world_map.state,
+            jnp.float32(p.scaleFactor),
+            jnp.int32(p.nOctaveLevels),
+        )
         self._cull_keyframes(world_map, kf_slot)
 
         # ---- loop closure (reference: mapping-thread loop detect) ----
