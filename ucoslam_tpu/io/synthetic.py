@@ -96,6 +96,17 @@ class SyntheticSequence:
             ).astype(np.float32)
         self.descs = rng.integers(0, 2**32, (n_points, 8), dtype=np.uint32)
         self.brightness = rng.uniform(80, 255, n_points).astype(np.float32)
+        # Physical size model: each blob has a max-detectable distance d0 (the
+        # distance at which it is detected at pyramid octave 0). At distance
+        # d it is detected at octave round(log(d0/d)/log(1.2)) — so
+        # d * 1.2^octave ≈ d0 is distance-invariant, matching the
+        # scale-invariance-bound behavior of a real ORB pyramid
+        # (MapPoint min/max distances, reference mappoint.h:73-111).
+        # Separate RNG stream so existing scene/marker draws are unchanged.
+        rng_sz = np.random.default_rng(seed + 77003)
+        self.point_d0 = rng_sz.uniform(10.0, 14.0, n_points).astype(np.float32)
+        self.n_octaves = 8
+        self.scale_factor = 1.2
 
         # markers: tilted squares scattered across the blob slab
         self.marker_size = marker_size
@@ -181,6 +192,15 @@ class SyntheticSequence:
         depth = np.zeros(self.n_kpt_slots, np.float32)
         if self.depth_mode in ("stereo", "rgbd"):
             depth[:n] = z[idx] * (1.0 + rng.normal(0, 0.002, n))
+        # detection octave from the physical size model (see __init__)
+        dist = np.linalg.norm(cam_pts[idx], axis=-1).clip(1e-6)
+        octave = np.clip(
+            np.round(np.log(self.point_d0[idx] / dist) / np.log(self.scale_factor)),
+            0,
+            self.n_octaves - 1,
+        ).astype(np.int32)
+        oct_full = np.zeros(self.n_kpt_slots, np.int32)
+        oct_full[:n] = octave
         pad2 = np.zeros((self.n_kpt_slots - n, 2), np.float32)
         f = f._replace(
             fseq=jnp.int32(i),
@@ -191,6 +211,7 @@ class SyntheticSequence:
             ),
             valid=jnp.asarray(np.arange(self.n_kpt_slots) < n),
             depth=jnp.asarray(depth),
+            octave=jnp.asarray(oct_full),
         )
         if self._marker_detector is not None:
             f = f._replace(
