@@ -5,16 +5,24 @@ Counterpart of the reference GlobalOptimizerG2O
 vertices *marginalized* via the Schur complement (:218), mono 2D edges with
 per-octave information 1/sigma^2 and Huber delta = sqrt(5.99) (:230-248),
 stereo 3D edges (u, v, u - bf/z) with delta = sqrt(7.815) (:250-272),
-outlier demotion between stages (:418-461), bad-association extraction
-(:466-537). Points need >= 2 observations (or stereo) to enter (:142).
+free SE3 marker vertices with 8D corner-projection binary edges
+(MarkerEdge typesg2o.h:108; vertex+edge wiring globaloptimizer_g2o.cpp
+:305-352; information = per-frame weight balanced against the keypoint
+edges :277-300), planar-marker relative edges when InPlaneMarkers
+(MarkerEdgeX globaloptimizer_g2o.cpp:37-63, weighting :357-398),
+outlier demotion between stages (:418-461: keypoint edges above their
+chi2 are excluded and the Huber kernel is dropped for the second stage;
+marker edges are never demoted), bad-association extraction (:466-537).
+Points need >= 2 observations (or stereo) to enter (:142).
 
 TPU-native design (vs g2o's sparse CHOLMOD pipeline):
 - all residuals/Jacobians for every observation in one batched sweep
   (stereo rows included as a third masked residual row);
 - per-point 3x3 Hessians inverted closed-form, vmapped;
-- reduced camera system S (6K x 6K) assembled by scanning over the
-  per-point compact observation table (P, MO) and scatter-adding 6x6
-  interaction blocks — then solved densely on the MXU;
+- the reduced system couples V = K cameras + M markers 6-dof blocks:
+  point blocks are marginalized into the camera part; marker edges
+  scatter 6x6 interaction blocks directly — then one dense 6V solve
+  on the MXU;
 - fixed LM iteration count, jit once per capacity signature.
 
 The same kernel serves local BA (covis window, boundary fixed) and global
@@ -53,15 +61,21 @@ class BAProblem(NamedTuple):
     obs_valid: jnp.ndarray  # (O,) bool
     pt_obs: jnp.ndarray  # (P, MO) int32 obs index per point (-1 pad)
     bf: jnp.ndarray  # () baseline * fx
-    # fixed-landmark observations: marker corners whose world position is
-    # held constant this solve (MarkerEdgeOnlyProject-style, typesg2o.h:414;
-    # full marker SE3 vertices are a follow-up). Contribute only to the
-    # camera blocks — no Schur interaction.
-    fobs_cam: jnp.ndarray = None  # (F,) int32
-    fobs_xyz: jnp.ndarray = None  # (F, 3) world position (marker corner)
-    fobs_uv: jnp.ndarray = None  # (F, 2)
-    fobs_weight: jnp.ndarray = None  # (F,) information weight
-    fobs_valid: jnp.ndarray = None  # (F,) bool
+    # ---- marker SE3 vertices + 8D corner edges (MarkerEdge) -------------
+    mk_pose: jnp.ndarray = None  # (M, 4, 4) pose_g2m (marker-local -> global)
+    mk_fixed: jnp.ndarray = None  # (M,) bool
+    mk_valid: jnp.ndarray = None  # (M,) bool
+    mk_obj: jnp.ndarray = None  # (M, 4, 3) corner object points (size-scaled)
+    mobs_cam: jnp.ndarray = None  # (Mo,) int32 camera vertex
+    mobs_mk: jnp.ndarray = None  # (Mo,) int32 marker vertex
+    mobs_uv: jnp.ndarray = None  # (Mo, 4, 2) observed undistorted corners
+    mobs_w: jnp.ndarray = None  # (Mo,) information weight (fmw)
+    mobs_valid: jnp.ndarray = None  # (Mo,) bool
+    # ---- planar relative edges (MarkerEdgeX, InPlaneMarkers) -------------
+    plan_ref: jnp.ndarray = None  # (Rp,) int32 reference marker vertex
+    plan_other: jnp.ndarray = None  # (Rp,) int32 other marker vertex
+    plan_w: jnp.ndarray = None  # (Rp,) information weight
+    plan_valid: jnp.ndarray = None  # (Rp,) bool
 
 
 class BAResult(NamedTuple):
@@ -70,6 +84,7 @@ class BAResult(NamedTuple):
     obs_chi2: jnp.ndarray  # (O,) final per-observation chi2
     obs_bad: jnp.ndarray  # (O,) bool — bad association (chi2 / neg depth)
     cost_history: jnp.ndarray  # (iters,)
+    mk_pose: jnp.ndarray = None  # (M, 4, 4) optimized marker poses
 
 
 def _residual_jac(problem: BAProblem, cam_pose, pt_pos, cam: CameraParams):
@@ -141,48 +156,99 @@ def _chi2_of(problem: BAProblem, cam_pose, pt_pos, cam):
     return jnp.sum(r * r * row_mask, -1) / problem.obs_sigma2.clip(1e-9), q
 
 
-def _fobs_residual_jac(problem: BAProblem, cam_pose, cam: CameraParams):
-    """Fixed-landmark (marker corner) residual (F, 2) and Jc (F, 2, 6)."""
-    T = cam_pose[problem.fobs_cam]
-    X = problem.fobs_xyz
-    R = T[:, :3, :3]
-    t = T[:, :3, 3]
-    q = jnp.einsum("oij,oj->oi", R, X) + t
-    z = q[:, 2].clip(1e-6)
+def _marker_residual_jac(problem: BAProblem, cam_pose, mk_pose, cam: CameraParams):
+    """8-row marker corner residual + Jacobians wrt camera and marker.
+
+    Counterpart MarkerEdge::computeError (typesg2o.h / globaloptimizer_g2o
+    context): corners X_w = T_g2m @ obj, projected through the camera.
+    Returns r (Mo, 8), Jc (Mo, 8, 6), Jm (Mo, 8, 6), z (Mo, 4).
+    """
+    Tc = cam_pose[problem.mobs_cam]  # (Mo, 4, 4)
+    Tm = mk_pose[problem.mobs_mk]
+    obj = problem.mk_obj[problem.mobs_mk]  # (Mo, 4, 3)
+    Rm, tm = Tm[:, :3, :3], Tm[:, :3, 3]
+    Rc, tc = Tc[:, :3, :3], Tc[:, :3, 3]
+    Xw = jnp.einsum("oij,ocj->oci", Rm, obj) + tm[:, None]  # (Mo, 4, 3)
+    q = jnp.einsum("oij,ocj->oci", Rc, Xw) + tc[:, None]  # (Mo, 4, 3)
+    z = q[..., 2].clip(1e-6)
     inv_z = 1.0 / z
     uv_hat = jnp.stack(
-        [cam.fx * q[:, 0] * inv_z + cam.cx, cam.fy * q[:, 1] * inv_z + cam.cy], -1
-    )
-    r = uv_hat - problem.fobs_uv
+        [cam.fx * q[..., 0] * inv_z + cam.cx, cam.fy * q[..., 1] * inv_z + cam.cy],
+        -1,
+    )  # (Mo, 4, 2)
+    r = uv_hat - problem.mobs_uv
     zero = jnp.zeros_like(inv_z)
     J_proj = jnp.stack(
         [
-            jnp.stack([cam.fx * inv_z, zero, -cam.fx * q[:, 0] * inv_z**2], -1),
-            jnp.stack([zero, cam.fy * inv_z, -cam.fy * q[:, 1] * inv_z**2], -1),
+            jnp.stack([cam.fx * inv_z, zero, -cam.fx * q[..., 0] * inv_z**2], -1),
+            jnp.stack([zero, cam.fy * inv_z, -cam.fy * q[..., 1] * inv_z**2], -1),
         ],
         -2,
-    )
-    J_pose = jnp.concatenate(
-        [jnp.broadcast_to(jnp.eye(3), q.shape[:1] + (3, 3)), -_hat(q)], -1
-    )
-    return r, J_proj @ J_pose, q
+    )  # (Mo, 4, 2, 3)
+    eye = jnp.broadcast_to(jnp.eye(3), q.shape[:2] + (3, 3))
+    # camera left-perturbation: dq = [I, -hat(q)] xi_c
+    Jc = J_proj @ jnp.concatenate([eye, -_hat(q)], -1)  # (Mo, 4, 2, 6)
+    # marker left-perturbation (T_m <- exp(xi) T_m): dXw = [I, -hat(Xw)] xi_m
+    Jm = J_proj @ (Rc[:, None] @ jnp.concatenate([eye, -_hat(Xw)], -1))
+    Mo = r.shape[0]
+    return r.reshape(Mo, 8), Jc.reshape(Mo, 8, 6), Jm.reshape(Mo, 8, 6), z
 
 
-def _robust_cost(problem: BAProblem, cam_pose, pt_pos, cam):
+def _se3_generators() -> jnp.ndarray:
+    """(6, 4, 4) se3 generators in [rho, phi] ordering (matches se3_exp)."""
+    G = np.zeros((6, 4, 4), np.float32)
+    G[0, 0, 3] = G[1, 1, 3] = G[2, 2, 3] = 1.0
+    # rotations: hat(e_k)
+    G[3, 1, 2], G[3, 2, 1] = -1.0, 1.0
+    G[4, 0, 2], G[4, 2, 0] = 1.0, -1.0
+    G[5, 0, 1], G[5, 1, 0] = -1.0, 1.0
+    return jnp.asarray(G)
+
+
+def _planar_residual_jac(problem: BAProblem, mk_pose):
+    """Planar relative edge (MarkerEdgeX, globaloptimizer_g2o.cpp:37-63).
+
+    E = T_ref^-1 T_other; residual = 10 * [E02, E12, 1 - E22, E23]: the
+    other marker's z-axis must align with the reference marker's and sit
+    in its plane. Returns r (Rp, 4), J_ref (Rp, 4, 6), J_other (Rp, 4, 6).
+    """
+    T1 = mk_pose[problem.plan_ref]
+    T2 = mk_pose[problem.plan_other]
+    A = jnp.linalg.inv(T1)
+    E = A @ T2
+    r = 10.0 * jnp.stack(
+        [E[:, 0, 2], E[:, 1, 2], 1.0 - E[:, 2, 2], E[:, 2, 3]], -1
+    )
+    # left perturbations: E' ~= A (I + (xi2 - xi1)^) T2
+    G = _se3_generators()  # (6, 4, 4)
+    dE = jnp.einsum("rij,kjl,rlm->rkim", A, G, T2)  # (Rp, 6, 4, 4)
+    J2 = 10.0 * jnp.stack(
+        [dE[:, :, 0, 2], dE[:, :, 1, 2], -dE[:, :, 2, 2], dE[:, :, 2, 3]], -2
+    )  # (Rp, 4, 6)
+    return r, -J2, J2
+
+
+def _total_cost(problem: BAProblem, cam_pose, mk_pose, pt_pos, cam, active, robust):
+    """LM acceptance cost: keypoint edges (Huber in stage 0, quadratic
+    after — the reference drops the robust kernel for the second stage),
+    plus quadratic marker and planar terms."""
     c2, _ = _chi2_of(problem, cam_pose, pt_pos, cam)
-    delta2 = jnp.where(problem.obs_depth > 0, CHI2_3D, CHI2_2D)
-    rho = jnp.where(c2 <= delta2, c2, 2.0 * jnp.sqrt(delta2 * c2.clip(1e-12)) - delta2)
-    cost = jnp.sum(jnp.where(problem.obs_valid, rho, 0.0))
-    if problem.fobs_cam is not None:
-        r, _, _ = _fobs_residual_jac(problem, cam_pose, cam)
-        c2f = jnp.sum(r * r, -1) * problem.fobs_weight
-        from ucoslam_tpu.config import CHI2_8D
-
-        d8 = CHI2_8D / 4.0  # per-corner share of the 8-dof threshold
-        rhof = jnp.where(
-            c2f <= d8, c2f, 2.0 * jnp.sqrt(d8 * c2f.clip(1e-12)) - d8
+    if robust:
+        delta2 = jnp.where(problem.obs_depth > 0, CHI2_3D, CHI2_2D)
+        rho = jnp.where(
+            c2 <= delta2, c2, 2.0 * jnp.sqrt(delta2 * c2.clip(1e-12)) - delta2
         )
-        cost = cost + jnp.sum(jnp.where(problem.fobs_valid, rhof, 0.0))
+    else:
+        rho = c2
+    cost = jnp.sum(jnp.where(active, rho, 0.0))
+    if problem.mk_pose is not None:
+        rm, _, _, _ = _marker_residual_jac(problem, cam_pose, mk_pose, cam)
+        wm = problem.mobs_valid.astype(jnp.float32) * problem.mobs_w
+        cost = cost + jnp.sum(jnp.sum(rm * rm, -1) * wm)
+        if problem.plan_ref is not None:
+            rp, _, _ = _planar_residual_jac(problem, mk_pose)
+            wp = problem.plan_valid.astype(jnp.float32) * problem.plan_w
+            cost = cost + jnp.sum(jnp.sum(rp * rp, -1) * wp)
     return cost
 
 
@@ -193,46 +259,47 @@ def ba_solve(
     iters: int = 20,
     stages: int = 2,
 ) -> BAResult:
-    """LM with point marginalization.
+    """LM with point marginalization and (optional) free marker vertices.
 
-    `stages` rounds of `iters` fixed LM steps; between rounds observations
-    with chi2 above their threshold are demoted to weight zero (the
-    reference's two-stage outlier-demotion, globaloptimizer_g2o.cpp:418-461).
+    `stages` rounds of `iters` fixed LM steps; between rounds keypoint
+    observations with chi2 above their threshold are demoted to weight zero
+    and the Huber kernel is dropped (the reference's two-stage protocol,
+    globaloptimizer_g2o.cpp:418-461; marker edges stay quadratic and are
+    never demoted).
     """
     K = problem.cam_pose.shape[0]
     P = problem.pt_pos.shape[0]
     MO = problem.pt_obs.shape[1]
     O = problem.obs_cam.shape[0]
+    has_mk = problem.mk_pose is not None
+    has_plan = has_mk and problem.plan_ref is not None
+    M = problem.mk_pose.shape[0] if has_mk else 0
+    V = K + M
     free_cam = problem.cam_valid & ~problem.cam_fixed
+    if has_mk:
+        free_all = jnp.concatenate([free_cam, problem.mk_valid & ~problem.mk_fixed])
+    else:
+        free_all = free_cam
 
-    def lm_step_with(w_info, obs_active, carry, _):
-        cam_pose, pt_pos, lam, cost_prev = carry
+    def lm_step_with(w_info, obs_active, robust, carry, _):
+        cam_pose, mk_pose, pt_pos, lam, cost_prev = carry
         r, Jc, Jp, q, row_mask = _residual_jac(problem, cam_pose, pt_pos, cam)
         c2 = jnp.sum(r * r * row_mask, -1) / problem.obs_sigma2.clip(1e-9)
-        delta2 = jnp.where(problem.obs_depth > 0, CHI2_3D, CHI2_2D)
-        w = w_info * jnp.minimum(1.0, jnp.sqrt(delta2 / c2.clip(1e-12)))
+        if robust:
+            delta2 = jnp.where(problem.obs_depth > 0, CHI2_3D, CHI2_2D)
+            w = w_info * jnp.minimum(1.0, jnp.sqrt(delta2 / c2.clip(1e-12)))
+        else:
+            w = w_info
         Jc = Jc * row_mask[:, :, None]
         Jp = Jp * row_mask[:, :, None]
 
-        # normal-equation blocks
-        Hcc = jnp.zeros((K, 6, 6)).at[problem.obs_cam].add(
+        # normal-equation blocks over V = K cameras + M markers vertices
+        Hv = jnp.zeros((V, 6, 6)).at[problem.obs_cam].add(
             jnp.einsum("oij,oik,o->ojk", Jc, Jc, w)
         )
-        bc = jnp.zeros((K, 6)).at[problem.obs_cam].add(
+        bv = jnp.zeros((V, 6)).at[problem.obs_cam].add(
             jnp.einsum("oij,oi,o->oj", Jc, r, w)
         )
-        if problem.fobs_cam is not None:
-            rf, Jf, _ = _fobs_residual_jac(problem, cam_pose, cam)
-            from ucoslam_tpu.config import CHI2_8D
-
-            c2f = jnp.sum(rf * rf, -1) * problem.fobs_weight
-            wf = (
-                problem.fobs_valid.astype(jnp.float32)
-                * problem.fobs_weight
-                * jnp.minimum(1.0, jnp.sqrt((CHI2_8D / 4.0) / c2f.clip(1e-12)))
-            )
-            Hcc = Hcc.at[problem.fobs_cam].add(jnp.einsum("oij,oik,o->ojk", Jf, Jf, wf))
-            bc = bc.at[problem.fobs_cam].add(jnp.einsum("oij,oi,o->oj", Jf, rf, wf))
         Hpp = jnp.zeros((P, 3, 3)).at[problem.obs_pt].add(
             jnp.einsum("oij,oik,o->ojk", Jp, Jp, w)
         )
@@ -242,7 +309,6 @@ def ba_solve(
         A = jnp.einsum("oij,oik,o->ojk", Jc, Jp, w)  # (O, 6, 3)
 
         # damping
-        lamI6 = lam * jnp.eye(6)
         lamI3 = lam * jnp.eye(3)
         Hpp_d = Hpp + lamI3 * jnp.maximum(
             jnp.trace(Hpp, axis1=-2, axis2=-1)[:, None, None] / 3.0, 1.0
@@ -251,15 +317,15 @@ def ba_solve(
         Hpp_inv = jnp.where(problem.pt_valid[:, None, None], Hpp_inv, 0.0)
 
         # --- Schur assembly over the per-point obs table ---------------
-        # pad A/cam with a zero row for -1 entries
+        # pad A/cam with a zero row for -1 entries; pad vertex index = V
         A_pad = jnp.concatenate([A, jnp.zeros((1, 6, 3))], 0)
-        cam_pad = jnp.concatenate([problem.obs_cam, jnp.array([K], jnp.int32)])
+        cam_pad = jnp.concatenate([problem.obs_cam, jnp.array([V], jnp.int32)])
         tbl = jnp.where(problem.pt_obs >= 0, problem.pt_obs, O)  # (P, MO)
         A_list = A_pad[tbl]  # (P, MO, 6, 3)
-        cam_list = cam_pad[tbl]  # (P, MO) in [0, K]
+        cam_list = cam_pad[tbl]  # (P, MO) in [0, K) or V
         Y_list = jnp.einsum("pmij,pjk->pmik", A_list, Hpp_inv)  # (P, MO, 6, 3)
 
-        S = jnp.zeros((K + 1, K + 1, 6, 6))
+        S = jnp.zeros((V + 1, V + 1, 6, 6))
 
         def schur_row(S, a):
             Ya = Y_list[:, a]  # (P, 6, 3)
@@ -269,32 +335,60 @@ def ba_solve(
             return S, None
 
         S, _ = jax.lax.scan(schur_row, S, jnp.arange(MO))
-        S = S[:K, :K]
-        S = S.at[jnp.arange(K), jnp.arange(K)].add(
-            Hcc
+
+        # --- marker corner edges: binary camera<->marker blocks --------
+        if has_mk:
+            rm, Jcm, Jmm, _ = _marker_residual_jac(problem, cam_pose, mk_pose, cam)
+            wm = problem.mobs_valid.astype(jnp.float32) * problem.mobs_w
+            mk_v = K + problem.mobs_mk  # marker vertex index
+            Hv = Hv.at[problem.mobs_cam].add(jnp.einsum("oij,oik,o->ojk", Jcm, Jcm, wm))
+            Hv = Hv.at[mk_v].add(jnp.einsum("oij,oik,o->ojk", Jmm, Jmm, wm))
+            bv = bv.at[problem.mobs_cam].add(jnp.einsum("oij,oi,o->oj", Jcm, rm, wm))
+            bv = bv.at[mk_v].add(jnp.einsum("oij,oi,o->oj", Jmm, rm, wm))
+            cross = jnp.einsum("oij,oik,o->ojk", Jcm, Jmm, wm)  # (Mo, 6, 6)
+            S = S.at[problem.mobs_cam, mk_v].add(cross)
+            S = S.at[mk_v, problem.mobs_cam].add(cross.transpose(0, 2, 1))
+            if has_plan:
+                rp, J1, J2 = _planar_residual_jac(problem, mk_pose)
+                wp = problem.plan_valid.astype(jnp.float32) * problem.plan_w
+                v1 = K + problem.plan_ref
+                v2 = K + problem.plan_other
+                Hv = Hv.at[v1].add(jnp.einsum("oij,oik,o->ojk", J1, J1, wp))
+                Hv = Hv.at[v2].add(jnp.einsum("oij,oik,o->ojk", J2, J2, wp))
+                bv = bv.at[v1].add(jnp.einsum("oij,oi,o->oj", J1, rp, wp))
+                bv = bv.at[v2].add(jnp.einsum("oij,oi,o->oj", J2, rp, wp))
+                crossp = jnp.einsum("oij,oik,o->ojk", J1, J2, wp)
+                S = S.at[v1, v2].add(crossp)
+                S = S.at[v2, v1].add(crossp.transpose(0, 2, 1))
+
+        S = S[:V, :V]
+        lamI6 = lam * jnp.eye(6)
+        S = S.at[jnp.arange(V), jnp.arange(V)].add(
+            Hv
             + lamI6
-            * jnp.maximum(jnp.trace(Hcc, axis1=-2, axis2=-1)[:, None, None] / 6.0, 1.0)
+            * jnp.maximum(jnp.trace(Hv, axis1=-2, axis2=-1)[:, None, None] / 6.0, 1.0)
         )
 
-        # rhs: bc_schur = bc - sum_o Y_o bp[pt(o)]
+        # rhs: b_schur = bv - sum_o Y_o bp[pt(o)] (keypoint obs only)
         Y = A @ Hpp_inv[problem.obs_pt]  # (O, 6, 3)
-        bc_schur = bc.at[problem.obs_cam].add(
+        b_schur = bv.at[problem.obs_cam].add(
             -jnp.einsum("oij,oj->oi", Y, bp[problem.obs_pt])
         )
 
-        # fixed / invalid cameras: identity rows, zero rhs
-        free = free_cam
+        # fixed / invalid vertices: identity rows, zero rhs
+        free = free_all
         Sf = jnp.where(free[:, None, None, None] & free[None, :, None, None], S, 0.0)
-        Sf = Sf.at[jnp.arange(K), jnp.arange(K)].add(
+        Sf = Sf.at[jnp.arange(V), jnp.arange(V)].add(
             jnp.where(free, 0.0, 1.0)[:, None, None] * jnp.eye(6)
         )
-        b_f = jnp.where(free[:, None], bc_schur, 0.0)
+        b_f = jnp.where(free[:, None], b_schur, 0.0)
 
-        S_full = Sf.transpose(0, 2, 1, 3).reshape(6 * K, 6 * K)
-        delta_c = jnp.linalg.solve(
-            S_full + 1e-8 * jnp.eye(6 * K), b_f.reshape(-1)
-        ).reshape(K, 6)
-        delta_c = jnp.where(free[:, None], delta_c, 0.0)
+        S_full = Sf.transpose(0, 2, 1, 3).reshape(6 * V, 6 * V)
+        delta_v = jnp.linalg.solve(
+            S_full + 1e-8 * jnp.eye(6 * V), b_f.reshape(-1)
+        ).reshape(V, 6)
+        delta_v = jnp.where(free[:, None], delta_v, 0.0)
+        delta_c = delta_v[:K]
 
         # back-substitute points: delta_p = Hpp^-1 (bp - sum_o A_o^T dc[cam_o])
         t_contrib = jnp.zeros((P, 3)).at[problem.obs_pt].add(
@@ -304,28 +398,35 @@ def ba_solve(
         delta_p = jnp.where(problem.pt_valid[:, None], delta_p, 0.0)
 
         new_cam = se3_exp(-delta_c) @ cam_pose
-        new_cam = jnp.where(free[:, None, None], new_cam, cam_pose)
+        new_cam = jnp.where(free[:K, None, None], new_cam, cam_pose)
         new_pt = pt_pos - delta_p
+        if has_mk:
+            delta_m = delta_v[K:]
+            new_mk = se3_exp(-delta_m) @ mk_pose
+            new_mk = jnp.where(free[K:, None, None], new_mk, mk_pose)
+        else:
+            new_mk = mk_pose
 
-        new_cost = _robust_cost(
-            problem._replace(obs_valid=obs_active), new_cam, new_pt, cam
-        )
+        new_cost = _total_cost(problem, new_cam, new_mk, new_pt, cam, obs_active, robust)
         improved = new_cost < cost_prev
         cam_pose = jnp.where(improved, new_cam, cam_pose)
+        mk_pose = jnp.where(improved, new_mk, mk_pose) if has_mk else mk_pose
         pt_pos = jnp.where(improved, new_pt, pt_pos)
         cost = jnp.where(improved, new_cost, cost_prev)
         lam = jnp.where(improved, lam * 0.5, lam * 8.0).clip(1e-7, 1e6)
-        return (cam_pose, pt_pos, lam, cost), cost
+        return (cam_pose, mk_pose, pt_pos, lam, cost), cost
 
     cam_pose, pt_pos = problem.cam_pose, problem.pt_pos
+    mk_pose = problem.mk_pose if has_mk else jnp.zeros((0, 4, 4))
     active = problem.obs_valid
     all_costs = []
     for stage in range(stages):
+        robust = stage == 0
         w_info = active.astype(jnp.float32) / problem.obs_sigma2.clip(1e-9)
-        cost0 = _robust_cost(problem._replace(obs_valid=active), cam_pose, pt_pos, cam)
-        (cam_pose, pt_pos, _, _), costs = jax.lax.scan(
-            partial(lm_step_with, w_info, active),
-            (cam_pose, pt_pos, jnp.float32(1e-4), cost0),
+        cost0 = _total_cost(problem, cam_pose, mk_pose, pt_pos, cam, active, robust)
+        (cam_pose, mk_pose, pt_pos, _, _), costs = jax.lax.scan(
+            partial(lm_step_with, w_info, active, robust),
+            (cam_pose, mk_pose, pt_pos, jnp.float32(1e-4), cost0),
             None,
             length=iters,
         )
@@ -339,7 +440,12 @@ def ba_solve(
     delta2 = jnp.where(problem.obs_depth > 0, CHI2_3D, CHI2_2D)
     bad = problem.obs_valid & ((c2 > delta2) | (q[:, 2] <= 0))
     return BAResult(
-        cam_pose=cam_pose, pt_pos=pt_pos, obs_chi2=c2, obs_bad=bad, cost_history=costs
+        cam_pose=cam_pose,
+        pt_pos=pt_pos,
+        obs_chi2=c2,
+        obs_bad=bad,
+        cost_history=costs,
+        mk_pose=mk_pose if has_mk else None,
     )
 
 
@@ -356,13 +462,14 @@ def build_ba_problem(
     fix_first: bool = True,
     max_obs_per_point: int = 16,
     min_obs: int = 2,
-) -> tuple[BAProblem, np.ndarray, np.ndarray]:
+) -> tuple[BAProblem, np.ndarray, np.ndarray, np.ndarray]:
     """Flatten a Map (or a keyframe window) into a fixed-shape BAProblem.
 
     used_kfs: keyframe slots to optimize (None = all active).
     fixed_kfs: keyframe slots held fixed (the reference's boundary frames).
-    Returns (problem, kf_slots, pt_slots) where the slot arrays map problem
-    indices back into the Map arenas.
+    Returns (problem, kf_slots, pt_slots, mk_slots) where the slot arrays map
+    problem indices back into the Map arenas (mk_slots empty when no marker
+    vertices entered).
     """
     st = world_map.state
     kf_active = np.asarray(st.kf_active)
@@ -468,51 +575,130 @@ def build_ba_problem(
     pt_obs_p = np.full((Pb, max_obs_per_point), -1, np.int32)
     pt_obs_p[: len(pt_slots)] = pt_obs
 
-    # ---- marker corner observations (8D edges, globaloptimizer_g2o.cpp
-    # :277-352): corners of markers with valid map pose act as fixed world
-    # landmarks; information balanced against the keypoint edges by
-    # markersOptWeight / minMarkersForMaxWeight -------------------------
-    fobs_cam_l, fobs_xyz_l, fobs_uv_l = [], [], []
+    # ---- marker SE3 vertices + corner edges (globaloptimizer_g2o.cpp
+    # :277-398): markers with a valid map pose observed by window keyframes
+    # become free 6-dof vertices; their 8D corner edges carry a per-frame
+    # information weight balanced against the keypoint edges --------------
     params_m = world_map.params
+    mk_slots = np.zeros(0, np.int32)
+    mk_fields = {}
     if params_m.detectMarkers:
         from ucoslam_tpu.markers.ippe import marker_object_points
 
-        mk_pose = np.asarray(st.mk_pose)
+        mk_pose_arr = np.asarray(st.mk_pose)
         mk_size = np.asarray(st.mk_size)
         mk_pose_valid = np.asarray(st.mk_pose_valid)
         kf_mk_slot = np.asarray(st.kf_mk_slot)
         kf_mk_corners = np.asarray(st.kf_mk_corners)
-        seen_markers = set()
+
+        # vertex set: valid-pose markers observed by any window keyframe
+        seen: dict[int, list[tuple[int, int]]] = {}
         for ci, s in enumerate(all_kfs):
             for j in range(kf_mk_slot.shape[1]):
                 slot = int(kf_mk_slot[s, j])
-                if slot < 0 or not mk_pose_valid[slot]:
-                    continue
-                obj = np.asarray(marker_object_points(jnp.float32(mk_size[slot])))
-                world = obj @ mk_pose[slot][:3, :3].T + mk_pose[slot][:3, 3]
-                for c in range(4):
-                    fobs_cam_l.append(ci)
-                    fobs_xyz_l.append(world[c])
-                    fobs_uv_l.append(kf_mk_corners[s, j, c])
-                seen_markers.add(slot)
-    F_real = len(fobs_cam_l)
-    Fb = bucket(max(F_real, 1), 128)
-    fobs_cam = np.zeros(Fb, np.int32)
-    fobs_xyz = np.zeros((Fb, 3), np.float32)
-    fobs_uv = np.zeros((Fb, 2), np.float32)
-    fobs_weight = np.zeros(Fb, np.float32)
-    fobs_valid = np.zeros(Fb, bool)
-    if F_real:
-        frac = params_m.markersOptWeight * min(
-            1.0, len(seen_markers) / max(params_m.minMarkersForMaxWeight, 1)
-        )
-        frac = min(frac, 0.95)
-        w_corner = (frac / (1.0 - frac)) * (max(O, 1) / F_real)
-        fobs_cam[:F_real] = fobs_cam_l
-        fobs_xyz[:F_real] = np.stack(fobs_xyz_l)
-        fobs_uv[:F_real] = np.stack(fobs_uv_l)
-        fobs_weight[:F_real] = w_corner
-        fobs_valid[:F_real] = True
+                if slot >= 0 and mk_pose_valid[slot]:
+                    seen.setdefault(slot, []).append((ci, j))
+        mk_slots = np.asarray(sorted(seen), np.int32)
+        if len(mk_slots):
+            mk_vidx = {int(s): i for i, s in enumerate(mk_slots)}
+            # markers also observed by active keyframes outside the window
+            # are constrained by data we can't see: hold them fixed
+            outside = np.nonzero(kf_active)[0]
+            outside = [s for s in outside if int(s) not in kf_index]
+            fixed_mk = set()
+            for s in outside:
+                for j in range(kf_mk_slot.shape[1]):
+                    slot = int(kf_mk_slot[s, j])
+                    if slot in mk_vidx:
+                        fixed_mk.add(slot)
+
+            # per-frame keypoint weight mass (globaloptimizer_g2o.cpp:248,271:
+            # mono edges add 2/sf^oct, stereo 3/sf^oct)
+            kpw = np.zeros(len(all_kfs), np.float64)
+            inv_scale = sf ** (-kf_oct[all_kfs[obs_cam], obs_kpt].astype(np.float64))
+            np.add.at(kpw, obs_cam, np.where(obs_depth > 0, 3.0, 2.0) * inv_scale)
+            n_mk_frame = np.zeros(len(all_kfs), np.int32)
+            for slot, obs in seen.items():
+                for ci, _ in obs:
+                    n_mk_frame[ci] += 1
+            fmw = np.ones(len(all_kfs), np.float64)
+            for ci in range(len(all_kfs)):
+                if kpw[ci] > 40 and n_mk_frame[ci] > 0:
+                    perct = params_m.markersOptWeight * min(
+                        1.0, n_mk_frame[ci] / max(params_m.minMarkersForMaxWeight, 1)
+                    )
+                    fmw[ci] = perct * kpw[ci] / (n_mk_frame[ci] * 8.0)
+
+            mobs_cam_l, mobs_mk_l, mobs_uv_l, mobs_w_l = [], [], [], []
+            for slot, obs in seen.items():
+                for ci, j in obs:
+                    mobs_cam_l.append(ci)
+                    mobs_mk_l.append(mk_vidx[slot])
+                    mobs_uv_l.append(kf_mk_corners[all_kfs[ci], j])
+                    mobs_w_l.append(fmw[ci])
+
+            Mb = bucket(len(mk_slots), 4)
+            Mob = bucket(len(mobs_cam_l), 16)
+            mk_pose_p = np.tile(np.eye(4, dtype=np.float32), (Mb, 1, 1))
+            mk_pose_p[: len(mk_slots)] = mk_pose_arr[mk_slots]
+            mk_fixed_p = np.ones(Mb, bool)
+            mk_fixed_p[: len(mk_slots)] = [int(s) in fixed_mk for s in mk_slots]
+            mk_valid_p = np.zeros(Mb, bool)
+            mk_valid_p[: len(mk_slots)] = True
+            mk_obj_p = np.zeros((Mb, 4, 3), np.float32)
+            for i, s in enumerate(mk_slots):
+                mk_obj_p[i] = np.asarray(marker_object_points(jnp.float32(mk_size[s])))
+            mobs_cam_p = np.zeros(Mob, np.int32)
+            mobs_mk_p = np.zeros(Mob, np.int32)
+            mobs_uv_p = np.zeros((Mob, 4, 2), np.float32)
+            mobs_w_p = np.zeros(Mob, np.float32)
+            mobs_valid_p = np.zeros(Mob, bool)
+            n_mo = len(mobs_cam_l)
+            mobs_cam_p[:n_mo] = mobs_cam_l
+            mobs_mk_p[:n_mo] = mobs_mk_l
+            mobs_uv_p[:n_mo] = np.stack(mobs_uv_l)
+            mobs_w_p[:n_mo] = mobs_w_l
+            mobs_valid_p[:n_mo] = True
+
+            mk_fields = dict(
+                mk_pose=jnp.asarray(mk_pose_p),
+                mk_fixed=jnp.asarray(mk_fixed_p),
+                mk_valid=jnp.asarray(mk_valid_p),
+                mk_obj=jnp.asarray(mk_obj_p),
+                mobs_cam=jnp.asarray(mobs_cam_p),
+                mobs_mk=jnp.asarray(mobs_mk_p),
+                mobs_uv=jnp.asarray(mobs_uv_p),
+                mobs_w=jnp.asarray(mobs_w_p),
+                mobs_valid=jnp.asarray(mobs_valid_p),
+            )
+
+            # planar relative edges (InPlaneMarkers, :357-398): reference
+            # marker = the most-observed vertex; weight 0.33 of the total
+            # kp+marker information mass spread over 4(M-1) residual rows
+            if params_m.inPlaneMarkers and len(mk_slots) >= 2:
+                n_obs_per_v = np.zeros(len(mk_slots), np.int32)
+                for slot, obs in seen.items():
+                    n_obs_per_v[mk_vidx[slot]] = len(obs)
+                ref_v = int(np.argmax(n_obs_per_v))
+                others = [v for v in range(len(mk_slots)) if v != ref_v]
+                total_mk_w = float(np.sum(mobs_w_p[:n_mo]) * 8.0)
+                total_kp_w = float(np.sum(kpw))
+                plan_w_val = 0.33 * (total_mk_w + total_kp_w) / (4.0 * len(others))
+                Rb = bucket(len(others), 4)
+                plan_ref_p = np.zeros(Rb, np.int32)
+                plan_other_p = np.zeros(Rb, np.int32)
+                plan_w_p = np.zeros(Rb, np.float32)
+                plan_valid_p = np.zeros(Rb, bool)
+                plan_ref_p[: len(others)] = ref_v
+                plan_other_p[: len(others)] = others
+                plan_w_p[: len(others)] = plan_w_val
+                plan_valid_p[: len(others)] = True
+                mk_fields.update(
+                    plan_ref=jnp.asarray(plan_ref_p),
+                    plan_other=jnp.asarray(plan_other_p),
+                    plan_w=jnp.asarray(plan_w_p),
+                    plan_valid=jnp.asarray(plan_valid_p),
+                )
 
     problem = BAProblem(
         cam_pose=jnp.asarray(cam_pose),
@@ -528,13 +714,9 @@ def build_ba_problem(
         obs_valid=jnp.asarray(obs_valid_p),
         pt_obs=jnp.asarray(pt_obs_p),
         bf=jnp.float32(cam.bf),
-        fobs_cam=jnp.asarray(fobs_cam),
-        fobs_xyz=jnp.asarray(fobs_xyz),
-        fobs_uv=jnp.asarray(fobs_uv),
-        fobs_weight=jnp.asarray(fobs_weight),
-        fobs_valid=jnp.asarray(fobs_valid),
+        **mk_fields,
     )
-    return problem, all_kfs, pt_slots
+    return problem, all_kfs, pt_slots, mk_slots
 
 
 def apply_ba_result(
@@ -544,8 +726,10 @@ def apply_ba_result(
     pt_slots: np.ndarray,
     problem: BAProblem,
     remove_bad: bool = True,
+    mk_slots: np.ndarray | None = None,
 ) -> int:
-    """Write optimized poses/points back into the map; drop bad associations.
+    """Write optimized poses/points/markers back into the map; drop bad
+    associations.
 
     Returns the number of bad associations removed
     (counterpart getBadAssociations + Map::removeBadAssociations).
@@ -557,6 +741,15 @@ def apply_ba_result(
         ),
         pt_pos=st.pt_pos.at[jnp.asarray(pt_slots)].set(result.pt_pos[: len(pt_slots)]),
     )
+    if mk_slots is not None and len(mk_slots) and result.mk_pose is not None:
+        free_mk = np.asarray(problem.mk_valid & ~problem.mk_fixed)[: len(mk_slots)]
+        wr = np.nonzero(free_mk)[0]
+        if len(wr):
+            st = st._replace(
+                mk_pose=st.mk_pose.at[jnp.asarray(mk_slots[wr])].set(
+                    result.mk_pose[wr]
+                )
+            )
     world_map.state = st
     n_bad = 0
     if remove_bad:
@@ -582,11 +775,15 @@ def global_bundle_adjustment(
     """Full-map BA (counterpart UcoSlam::globalOptimization, ucoslam.cpp:47)."""
     if world_map.n_keyframes < 2:
         return 0
-    problem, kf_slots, pt_slots = build_ba_problem(world_map, cam, fix_first=fix_first)
+    problem, kf_slots, pt_slots, mk_slots = build_ba_problem(
+        world_map, cam, fix_first=fix_first
+    )
     if len(pt_slots) == 0:
         return 0
     result = ba_solve(problem, cam, iters=n_iters)
-    return apply_ba_result(world_map, result, kf_slots, pt_slots, problem)
+    return apply_ba_result(
+        world_map, result, kf_slots, pt_slots, problem, mk_slots=mk_slots
+    )
 
 
 def local_bundle_adjustment(
@@ -609,11 +806,13 @@ def local_bundle_adjustment(
         for s in np.nonzero(covis[window].sum(0) > 0)[0]
         if int(s) not in window_set
     ]
-    problem, kf_slots, pt_slots = build_ba_problem(
+    problem, kf_slots, pt_slots, mk_slots = build_ba_problem(
         world_map, cam, used_kfs=np.asarray(window), fixed_kfs=np.asarray(boundary, int),
         fix_first=len(boundary) == 0,
     )
     if len(pt_slots) == 0:
         return 0
     result = ba_solve(problem, cam, iters=n_iters)
-    return apply_ba_result(world_map, result, kf_slots, pt_slots, problem)
+    return apply_ba_result(
+        world_map, result, kf_slots, pt_slots, problem, mk_slots=mk_slots
+    )
