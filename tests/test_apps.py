@@ -124,3 +124,68 @@ def test_cli_compare_logs(tmp_path):
     )
     assert r.returncode == 0
     assert "ATE=0.000" in r.stdout
+
+
+def test_stereo_calibrate_synthetic_chessboard(tmp_path):
+    """Render a chessboard through a synthetic verged stereo rig; the
+    calibration must recover the baseline and focal length."""
+    import cv2
+    from ucoslam_tpu.apps.stereo_calibrate import (
+        calibrate_stereo_pairs, write_stereo_yml,
+    )
+
+    W, H = 640, 480
+    fx = 500.0
+    K = np.array([[fx, 0, W / 2], [0, fx, H / 2], [0, 0, 1]])
+    board = (9, 6)
+    square = 0.03
+    objp = np.zeros((board[0] * board[1], 3), np.float32)
+    objp[:, :2] = np.mgrid[0:board[0], 0:board[1]].T.reshape(-1, 2) * square
+    baseline = 0.12
+    rng = np.random.default_rng(2)
+    pairs = []
+    for i in range(8):
+        rvec = rng.uniform(-0.3, 0.3, 3)
+        tvec = np.array([rng.uniform(-0.1, 0.1), rng.uniform(-0.05, 0.05),
+                         rng.uniform(0.6, 1.0)])
+        # canonical pattern: (bw+1)x(bh+1) squares + 2-square white margin,
+        # warped into each eye by the plane homography -> a physically
+        # correct chessboard image with the white border cv2 requires
+        px = 40
+        bw, bh = board
+        ny, nx = bh + 1 + 4, bw + 1 + 4
+        cells = (np.indices((ny, nx)).sum(0) % 2) * 255
+        cells[:2, :] = cells[-2:, :] = 255
+        cells[:, :2] = cells[:, -2:] = 255
+        pattern = np.kron(cells, np.ones((px, px))).astype(np.uint8)
+        # pattern pixel of inner corner (0,0) is at (3*px, 3*px)
+        src = np.float32([[3 * px, 3 * px], [(3 + bw - 1) * px, 3 * px],
+                          [(3 + bw - 1) * px, (3 + bh - 1) * px],
+                          [3 * px, (3 + bh - 1) * px]])
+        obj4 = np.float32([[0, 0, 0], [(bw - 1) * square, 0, 0],
+                           [(bw - 1) * square, (bh - 1) * square, 0],
+                           [0, (bh - 1) * square, 0]])
+        imgs = []
+        for eye in range(2):
+            t_eye = tvec - np.array([baseline * eye, 0, 0])
+            uv, _ = cv2.projectPoints(obj4, rvec, t_eye, K, None)
+            Hm = cv2.getPerspectiveTransform(src, uv.reshape(4, 2).astype(np.float32))
+            img = cv2.warpPerspective(
+                pattern, Hm, (W, H), flags=cv2.INTER_LINEAR,
+                borderMode=cv2.BORDER_CONSTANT, borderValue=255,
+            )
+            imgs.append(img)
+        pairs.append((imgs[0], imgs[1]))
+    calib = calibrate_stereo_pairs(pairs, board, square)
+    if calib is None:
+        import pytest
+
+        pytest.skip("synthetic chessboard not detected by cv2")
+    assert abs(np.linalg.norm(calib["T"]) - baseline) < 0.01
+    assert abs(calib["M1"][0, 0] - fx) / fx < 0.05
+    out = str(tmp_path / "stereo.yml")
+    write_stereo_yml(out, calib)
+    fs = cv2.FileStorage(out, cv2.FILE_STORAGE_READ)
+    assert fs.getNode("M1").mat().shape == (3, 3)
+    assert fs.getNode("Q").mat().shape == (4, 4)
+    fs.release()

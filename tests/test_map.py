@@ -187,3 +187,52 @@ class TestPointStats:
         np.testing.assert_array_equal(
             np.asarray(st.pt_desc)[5], np.zeros(8, np.uint32)
         )
+
+
+def test_essential_graph_spans_and_keeps_strong_edges():
+    """Kruskal max-spanning tree + strong covis links (CovisGraph::getEG,
+    covisgraph.cpp:253-289)."""
+    from ucoslam_tpu.config import Params
+    from ucoslam_tpu.mapping import Map
+    from ucoslam_tpu.mapping.frame import empty_frame
+    import jax.numpy as jnp
+
+    params = Params().replace(maxMapPoints=512, maxKeyFrames=8, maxKeyPointsPerFrame=64)
+    m = Map(params)
+    rng = np.random.default_rng(3)
+    n_pt = 60
+    X = rng.uniform(-2, 2, (n_pt, 3)).astype(np.float32)
+    X[:, 2] += 6
+    desc = rng.integers(0, 2**32, (n_pt, 8), dtype=np.uint32)
+    d = np.linalg.norm(X, axis=1)
+    slots = m.add_points(X, X / d[:, None], desc, d * 0.3, d * 1.5,
+                         np.zeros(n_pt, np.int32), 0)
+    # chain 0-1 (30 shared), 1-2 (30), 2-3 (25); weak 0-3 link (5 shared)
+    shares = {0: slots[:40], 1: slots[10:50], 2: slots[20:60], 3: slots[35:60]}
+    for k in range(4):
+        ids = np.full(64, -1, np.int32)
+        ids[: len(shares[k])] = shares[k]
+        f = empty_frame(64)._replace(
+            fseq=jnp.int32(k), valid=jnp.asarray(np.arange(64) < len(shares[k])),
+            ids=jnp.asarray(ids), pose_f2g=jnp.eye(4),
+        )
+        m.add_keyframe(f)
+    edges = m.essential_graph(min_weight=15)
+    nodes = set()
+    for a, b, w in edges:
+        nodes.add(a); nodes.add(b)
+    assert nodes == set(int(s) for s in m.keyframes.active_slots())
+    # spanning: union-find check
+    parent = {n: n for n in nodes}
+    def find(x):
+        while parent[x] != x: x = parent[x]
+        return x
+    for a, b, _ in edges:
+        parent[find(a)] = find(b)
+    assert len({find(n) for n in nodes}) == 1
+    # strong consecutive links present with their covis weight
+    pairs = {(a, b): w for a, b, w in edges}
+    assert pairs.get((0, 1), 0) >= 30
+    assert pairs.get((1, 2), 0) >= 30
+    # weak 0-3 link (5 shared) excluded unless it is an MST bridge
+    assert (0, 3) not in pairs or pairs[(0, 3)] <= 5

@@ -73,3 +73,60 @@ def test_map_export_cli(tmp_path):
     assert r.returncode == 0, r.stderr[-1500:]
     assert "10 points, 1 keyframes" in r.stdout
     assert (tmp_path / "o.ply").exists() and (tmp_path / "s.slm").exists()
+
+
+def test_marker_map_export_yaml(tmp_path):
+    """Map::saveToMarkerMap counterpart: aruco MarkerMap YAML, readable by
+    cv2.FileStorage (the reference's serializer)."""
+    import jax.numpy as jnp
+    from ucoslam_tpu.config import Params
+    from ucoslam_tpu.mapping import Map
+    from ucoslam_tpu.io.exporters import export_marker_map
+
+    m = Map(Params().replace(maxMapPoints=64, maxKeyFrames=4, maxKeyPointsPerFrame=32))
+    st = m.state
+    pose = np.eye(4, dtype=np.float32)
+    pose[:3, 3] = [1.0, 2.0, 5.0]
+    m.state = st._replace(
+        mk_pose=st.mk_pose.at[0].set(jnp.asarray(pose)),
+        mk_pose_valid=st.mk_pose_valid.at[0].set(True),
+        mk_size=st.mk_size.at[0].set(0.4),
+        mk_id=st.mk_id.at[0].set(123),
+    )
+    path = str(tmp_path / "mm.yml")
+    n = export_marker_map(m, path)
+    assert n == 1
+    import cv2
+
+    fs = cv2.FileStorage(path, cv2.FILE_STORAGE_READ)
+    assert int(fs.getNode("aruco_bc_nmarkers").real()) == 1
+    mk = fs.getNode("aruco_bc_markers").at(0)
+    assert int(mk.getNode("id").real()) == 123
+    c0 = mk.getNode("corners").at(0).mat().ravel()
+    np.testing.assert_allclose(c0, [1.0 - 0.2, 2.0 + 0.2, 5.0], atol=1e-6)
+    fs.release()
+
+
+def test_pmvs_export(tmp_path):
+    from ucoslam_tpu.geometry.camera import CameraParams
+    from ucoslam_tpu.io.exporters import export_pmvs
+    import jax.numpy as jnp
+    from ucoslam_tpu.config import Params
+    from ucoslam_tpu.mapping import Map
+    from ucoslam_tpu.mapping.frame import empty_frame
+
+    m = Map(Params().replace(maxMapPoints=64, maxKeyFrames=4, maxKeyPointsPerFrame=32))
+    for k in range(2):
+        T = np.eye(4, dtype=np.float32)
+        T[0, 3] = 0.1 * k
+        m.add_keyframe(empty_frame(32)._replace(fseq=jnp.int32(k), pose_f2g=jnp.asarray(T)))
+    cam = CameraParams.create(500.0, 500.0, 320.0, 240.0)
+    out = str(tmp_path / "pmvs")
+    n = export_pmvs(m, cam, out)
+    assert n == 2
+    txt = open(f"{out}/txt/00000000.txt").read().splitlines()
+    assert txt[0] == "CONTOUR"
+    P = np.array([[float(x) for x in r.split()] for r in txt[1:4]])
+    np.testing.assert_allclose(P[:, :3], np.asarray(cam.K), rtol=1e-5)
+    assert open(f"{out}/vis.dat").read().startswith("VISDATA 2")
+    assert "timages -1 0 2" in open(f"{out}/option.txt").read()

@@ -93,3 +93,27 @@ def test_determinism(orb, img):
 def test_sigma2(orb):
     s2 = np.asarray(orb.sigma2(jnp.asarray([0, 1, 2])))
     np.testing.assert_allclose(s2, [1.0, 1.44, 1.44**2], rtol=1e-5)
+
+
+def test_kpt_image_scale_factor_coords_fullres():
+    """kptImageScaleFactor (ucoslamtypes.h:131): detection at reduced
+    resolution, keypoint coordinates reported at full resolution."""
+    from ucoslam_tpu.config import Params
+    from ucoslam_tpu.features.frame_extractor import FrameExtractor
+    from ucoslam_tpu.geometry.camera import CameraParams
+
+    rng = np.random.default_rng(5)
+    H, W = 240, 320
+    img = (rng.uniform(0, 255, (H, W)) * (rng.random((H, W)) > 0.7)).astype(np.uint8)
+    cam = CameraParams.create(300.0, 300.0, W / 2, H / 2, width=W, height=H)
+    fx_full = FrameExtractor(Params().replace(detectMarkers=False), cam)
+    fx_half = FrameExtractor(
+        Params().replace(detectMarkers=False, kptImageScaleFactor=0.5), cam
+    )
+    f_full = fx_full.process(img)
+    f_half = fx_half.process(img)
+    assert int(np.asarray(f_half.valid).sum()) > 20
+    xy = np.asarray(f_half.xy)[np.asarray(f_half.valid)]
+    # coordinates are full-resolution: they must span the full image extent
+    assert xy[:, 0].max() > W * 0.6 and xy[:, 1].max() > H * 0.6
+    assert xy[:, 0].min() >= 0 and xy[:, 0].max() < W

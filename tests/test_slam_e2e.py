@@ -105,3 +105,42 @@ class TestRecovery:
             if i >= 24 and pose is not None:
                 tracked_after += 1
         assert tracked_after >= 0.8 * (seq.n_frames - 24), f"only {tracked_after}"
+
+
+class TestAsyncMapping:
+    """Non-sequential dispatch: mapping worker thread + tracker snapshots
+    (the reference's default two-thread mode, mapmanager.h:740,1178)."""
+
+    def test_async_tracks_whole_sequence(self):
+        params = PARAMS.replace(runSequential=False)
+        seq = SyntheticSequence(n_frames=40, seed=3)
+        sys_, poses = run_sequence(seq, params=params)
+        sys_.wait_for_finished()
+        assert len(poses) >= 0.85 * (seq.n_frames - 2), f"tracked {len(poses)}"
+        idx, est = centers_of(poses)
+        ate = ate_rmse(est, seq.gt_positions()[idx], with_scale=True)
+        assert ate < 0.05, f"async ATE {ate}"
+        assert sys_.map.n_keyframes >= 3
+        sys_.shutdown()
+
+    def test_async_worker_errors_surface(self):
+        params = PARAMS.replace(runSequential=False)
+        seq = SyntheticSequence(n_frames=6, seed=4)
+        sys_, _ = run_sequence(seq, params=params)
+        sys_.manager._worker_error = RuntimeError("boom")
+        import pytest as _pytest
+
+        with _pytest.raises(RuntimeError, match="boom"):
+            sys_.wait_for_finished()
+        sys_.shutdown()
+
+    def test_wait_for_finished_drains_queue(self):
+        params = PARAMS.replace(runSequential=False)
+        seq = SyntheticSequence(n_frames=30, seed=5)
+        sys_, poses = run_sequence(seq, params=params)
+        sys_.wait_for_finished()
+        assert not sys_.manager.busy()
+        # map grew beyond the two init keyframes -> worker really ran
+        assert sys_.map.n_keyframes >= 3
+        assert sys_.map.n_points > 100
+        sys_.shutdown()

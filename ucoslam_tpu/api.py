@@ -40,8 +40,15 @@ class UcoSlam:
         self._system = System(params, cam, self._map)
         self._extractor = FrameExtractor(params, cam, marker_detector)
         self._vocab_path = vocabulary
+        if vocabulary:
+            # .fbow vocabulary (ucoslam.cpp:11; empty path keeps the
+            # generated vocab — the reference's DummyDataBase path keeps
+            # running without one)
+            self._system.manager.kfdb.load_vocabulary(vocabulary)
 
     def clear(self) -> None:
+        if self._system is not None:
+            self._system.shutdown()
         self._system = None
         self._map = None
 
@@ -71,11 +78,15 @@ class UcoSlam:
         self._system.reset_tracker()
 
     def waitForFinished(self) -> None:
-        """Sequential mode: mapping already ran inline; nothing pending."""
+        """Drain the mapping worker (async mode); inline mode has nothing
+        pending (ucoslam.h waitForFinished)."""
+        self._system.wait_for_finished()
 
     def globalOptimization(self, n_iters: int | None = None) -> None:
         """Full bundle adjustment over the map (ucoslam.cpp:47)."""
         from ucoslam_tpu.optim.ba import global_bundle_adjustment
+
+        self._system.wait_for_finished()
 
         global_bundle_adjustment(
             self._map, self._system.cam,
@@ -84,6 +95,7 @@ class UcoSlam:
 
     # -- persistence (ucoslam.cpp:41, map.cpp:339) ----------------------
     def saveToFile(self, path: str) -> None:
+        self._system.wait_for_finished()
         meta = {
             "pose": None if self._system.pose is None else self._system.pose.tolist(),
             "kf_counter": self._system.manager.kf_counter,

@@ -7,7 +7,7 @@ re-save.
 
 Usage:
   python -m ucoslam_tpu.apps.map_export map.slm [--ply out.ply] [--pcd out.pcd]
-      [--strip-unused resaved.slm]
+      [--strip-unused resaved.slm] [--markermap out.yml] [--pmvs out_dir]
 """
 
 from __future__ import annotations
@@ -24,6 +24,12 @@ def main(argv=None) -> int:
     ap.add_argument("--ply")
     ap.add_argument("--pcd")
     ap.add_argument("--strip-unused")
+    ap.add_argument("--markermap", help="export valid markers as aruco MarkerMap YAML")
+    ap.add_argument("--pmvs", help="export PMVS2 reconstruction input dir")
+    ap.add_argument("--fx", type=float, default=500.0, help="fx for --pmvs")
+    ap.add_argument("--fy", type=float, default=500.0)
+    ap.add_argument("--cx", type=float, default=320.0)
+    ap.add_argument("--cy", type=float, default=240.0)
     args = ap.parse_args(argv)
 
     m = load_map(args.map)
@@ -37,6 +43,18 @@ def main(argv=None) -> int:
     if args.pcd:
         m.export_pointcloud(args.pcd)
         print(f"pcd -> {args.pcd}")
+    if args.markermap:
+        from ucoslam_tpu.io.exporters import export_marker_map
+
+        n = export_marker_map(m, args.markermap)
+        print(f"markermap ({n} markers) -> {args.markermap}")
+    if args.pmvs:
+        from ucoslam_tpu.geometry.camera import CameraParams
+        from ucoslam_tpu.io.exporters import export_pmvs
+
+        cam = CameraParams.create(args.fx, args.fy, args.cx, args.cy)
+        n = export_pmvs(m, cam, args.pmvs)
+        print(f"pmvs ({n} keyframes) -> {args.pmvs}")
     if args.strip_unused:
         n = m.remove_unused_keypoints()
         save_map(m, args.strip_unused)

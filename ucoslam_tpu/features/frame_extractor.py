@@ -49,7 +49,20 @@ class FrameExtractor:
 
     def _base_frame(self, img: np.ndarray, fseq: int) -> Frame:
         gray = rgb_to_gray(jnp.asarray(img))
-        kps = self.orb.detect_and_compute(gray)
+        # optional detector-resolution reduction (kptImageScaleFactor,
+        # ucoslamtypes.h:131; the reference resizes the gray image before
+        # detection and keeps all downstream coordinates full-resolution)
+        ksf = float(self.params.kptImageScaleFactor)
+        if ksf != 1.0:
+            H, W = gray.shape
+            small = (max(8, int(round(H * ksf))), max(8, int(round(W * ksf))))
+            gray_det = jax.image.resize(gray, small, method="linear")
+            kps = self.orb.detect_and_compute(gray_det)
+            kps = kps._replace(
+                xy=kps.xy / jnp.float32(ksf)  # back to full-res pixel coords
+            )
+        else:
+            kps = self.orb.detect_and_compute(gray)
         if self.params.autoAdjustKpSensitivity:
             # low-texture adaptation (ORBextractor::setSensitivity,
             # ORBextractor.h:113): when the detector underfills its budget,

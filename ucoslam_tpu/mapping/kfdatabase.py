@@ -30,18 +30,62 @@ def make_vocabulary(size: int = VOCAB_SIZE, seed: int = 1234) -> jnp.ndarray:
 
 
 @jax.jit
-def bow_vector(desc: jnp.ndarray, valid: jnp.ndarray, vocab: jnp.ndarray) -> jnp.ndarray:
+def bow_vector(
+    desc: jnp.ndarray,
+    valid: jnp.ndarray,
+    vocab: jnp.ndarray,
+    weights: jnp.ndarray | None = None,
+) -> jnp.ndarray:
     """Descriptor set -> L2-normalized word histogram (V,).
 
     Counterpart of fbow::Vocabulary::transform (fbow.h:91): one Hamming
-    argmin per descriptor against the flat vocabulary.
+    argmin per descriptor against the flat vocabulary, accumulating the
+    word's weight (fbow adds the leaf weight per hit, fbow.h:390). Large
+    vocabularies quantize in chunks so the (N, V) distance matrix never
+    materializes whole.
     """
     from ucoslam_tpu.ops.hamming import hamming_matrix
 
-    d = hamming_matrix(desc, vocab)  # (N, V)
-    word = jnp.argmin(d, axis=1)
     V = vocab.shape[0]
-    hist = jnp.zeros((V,), jnp.float32).at[word].add(valid.astype(jnp.float32))
+    if V <= 8192:
+        d = hamming_matrix(desc, vocab)  # (N, V)
+        word = jnp.argmin(d, axis=1)
+    else:
+        C = 4096
+        pad = (-V) % C
+        vpad = jnp.concatenate(
+            [vocab, jnp.zeros((pad, vocab.shape[1]), vocab.dtype)]
+        ).reshape(-1, C, vocab.shape[1])
+
+        def chunk(carry, vc_i):
+            best_d, best_i, base = carry
+            d = hamming_matrix(desc, vc_i)  # (N, C)
+            # mask padded vocabulary rows out of the argmin
+            col_ok = base + jnp.arange(C, dtype=jnp.int32) < V
+            d = jnp.where(col_ok[None, :], d, 2**30)
+            i = jnp.argmin(d, axis=1)
+            dm = jnp.take_along_axis(d, i[:, None], 1)[:, 0]
+            upd = dm < best_d
+            return (
+                jnp.where(upd, dm, best_d),
+                jnp.where(upd, base + i.astype(jnp.int32), best_i),
+                base + C,
+            ), None
+
+        (best_d, word, _), _ = jax.lax.scan(
+            chunk,
+            (
+                jnp.full((desc.shape[0],), 2**31 - 1, jnp.int32),
+                jnp.zeros((desc.shape[0],), jnp.int32),
+                jnp.int32(0),
+            ),
+            vpad,
+        )
+        word = jnp.minimum(word, V - 1)  # padded rows can't win (dist huge)
+    w = jnp.ones((V,), jnp.float32) if weights is None else weights
+    hist = jnp.zeros((V,), jnp.float32).at[word].add(
+        valid.astype(jnp.float32) * w[word]
+    )
     norm = jnp.linalg.norm(hist).clip(1e-9)
     return hist / norm
 
@@ -55,12 +99,31 @@ def bow_scores(query: jnp.ndarray, database: jnp.ndarray) -> jnp.ndarray:
 class KeyFrameDataBase:
     """Per-keyframe BoW vectors, kept alongside the Map arenas."""
 
-    def __init__(self, max_keyframes: int, vocab: jnp.ndarray | None = None):
+    def __init__(
+        self,
+        max_keyframes: int,
+        vocab: jnp.ndarray | None = None,
+        weights: jnp.ndarray | None = None,
+    ):
         self.vocab = vocab if vocab is not None else make_vocabulary()
+        self.weights = weights  # (V,) word weights or None (uniform)
         self.vectors = jnp.zeros((max_keyframes, self.vocab.shape[0]), jnp.float32)
 
+    def load_vocabulary(self, path: str) -> None:
+        """Replace the vocabulary with a .fbow file's flattened leaf set
+        (counterpart Vocabulary::readFromFile, fbow.h:97; wired through
+        UcoSlam::setParams' vocabulary argument, ucoslam.cpp:11)."""
+        from ucoslam_tpu.io.fbow import load_fbow
+
+        v = load_fbow(path)
+        self.vocab = jnp.asarray(v.desc)
+        self.weights = jnp.asarray(v.weight)
+        self.vectors = jnp.zeros(
+            (self.vectors.shape[0], self.vocab.shape[0]), jnp.float32
+        )
+
     def add(self, kf_slot: int, desc: jnp.ndarray, valid: jnp.ndarray) -> None:
-        vec = bow_vector(desc, valid, self.vocab)
+        vec = bow_vector(desc, valid, self.vocab, self.weights)
         self.vectors = self.vectors.at[kf_slot].set(vec)
 
     def remove(self, kf_slots) -> None:
@@ -68,7 +131,7 @@ class KeyFrameDataBase:
 
     def query(self, desc: jnp.ndarray, valid: jnp.ndarray) -> np.ndarray:
         """(K,) similarity of every keyframe slot to the given frame."""
-        vec = bow_vector(desc, valid, self.vocab)
+        vec = bow_vector(desc, valid, self.vocab, self.weights)
         return np.asarray(bow_scores(vec, self.vectors))
 
     def relocalization_candidates(

@@ -353,6 +353,19 @@ def op_update_point_stats(
 
 
 @jax.jit
+def op_bump_point_stats(
+    state: MapState, vis_mask: jnp.ndarray, seen_mask: jnp.ndarray
+) -> MapState:
+    """Increment per-point visible/seen counters (MapPoint statistics,
+    mappoint.h:73-74). Masks come from a tracking step; applied by the
+    single map writer so async tracking never races the mapper."""
+    return state._replace(
+        pt_n_visible=state.pt_n_visible + vis_mask.astype(jnp.int32),
+        pt_n_seen=state.pt_n_seen + seen_mask.astype(jnp.int32),
+    )
+
+
+@jax.jit
 def op_apply_transform(state: MapState, T: jnp.ndarray) -> MapState:
     """Rigidly transform the whole map by T (global' = T @ global)
     (counterpart Map::applyTransform)."""
@@ -470,6 +483,58 @@ class Map:
     def covis_matrix(self) -> np.ndarray:
         return np.asarray(op_covis_matrix(self.state))
 
+    def essential_graph(self, min_weight: int = 15) -> list[tuple[int, int, float]]:
+        """Essential graph over active keyframes: the MAXIMUM spanning tree
+        of the covisibility graph (Kruskal, counterpart CovisGraph::getEG,
+        covisgraph.cpp:253-289) plus every edge at/above `min_weight`.
+
+        Disconnected covis components are bridged by temporal-adjacency
+        edges of weight 1 so the result always spans (the reference asserts
+        connectivity; our maps can fragment after aggressive culling).
+        Returns (slot_a, slot_b, weight) with slot_a < slot_b.
+        """
+        slots = self.keyframes.active_slots()
+        K = len(slots)
+        if K < 2:
+            return []
+        covis = self.covis_matrix()
+        fseq = np.asarray(self.state.kf_fseq)[slots]
+        order = np.argsort(fseq)
+        cand: dict[tuple[int, int], float] = {}
+        for ia in range(K):
+            a = int(slots[ia])
+            for ib in range(ia + 1, K):
+                b = int(slots[ib])
+                w = float(covis[a, b])
+                if w > 0:
+                    cand[(a, b)] = w
+        # weight-1 temporal bridges guarantee a spanning forest -> tree
+        for x, y in zip(order[:-1], order[1:]):
+            a, b = sorted((int(slots[x]), int(slots[y])))
+            cand.setdefault((a, b), 1.0)
+
+        parent = {int(s): int(s) for s in slots}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        edges: list[tuple[int, int, float]] = []
+        for (a, b), w in sorted(cand.items(), key=lambda kv: -kv[1]):
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[rb] = ra
+                edges.append((a, b, w))
+        # strong covisibility edges join the tree (reference correctMap uses
+        # EG + high-covis links for the Sim3 relax)
+        tree = {(a, b) for a, b, _ in edges}
+        for (a, b), w in cand.items():
+            if w >= min_weight and (a, b) not in tree:
+                edges.append((a, b, w))
+        return edges
+
     def point_observation_counts(self) -> np.ndarray:
         return np.asarray(op_point_observation_counts(self.state))
 
@@ -490,6 +555,9 @@ class Map:
 
     def apply_transform(self, T) -> None:
         self.state = op_apply_transform(self.state, jnp.asarray(T, jnp.float32))
+
+    def bump_point_stats(self, vis_mask, seen_mask) -> None:
+        self.state = op_bump_point_stats(self.state, vis_mask, seen_mask)
 
     def scale(self, s: float) -> None:
         self.state = op_scale_map(self.state, jnp.float32(s))

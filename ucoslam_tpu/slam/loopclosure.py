@@ -182,25 +182,19 @@ class LoopDetector:
         K = len(kf_slots)
         poses = np.asarray(st.kf_pose)[kf_slots]
 
-        covis = world_map.covis_matrix()
         edges_i, edges_j, meas, weights = [], [], [], []
-        # covisibility edges (the essential graph: strong covis links)
-        for a_i, a in enumerate(kf_slots):
-            for b_i in range(a_i + 1, K):
-                b = kf_slots[b_i]
-                w = covis[a, b]
-                if w >= min_covis_weight:
-                    edges_i.append(a_i)
-                    edges_j.append(b_i)
-                    meas.append(poses[a_i] @ np.linalg.inv(poses[b_i]))
-                    weights.append(float(w))
-        # sequential odometry edges keep the chain connected
-        order = np.argsort(np.asarray(st.kf_fseq)[kf_slots])
-        for x, y in zip(order[:-1], order[1:]):
-            edges_i.append(int(x))
-            edges_j.append(int(y))
-            meas.append(poses[x] @ np.linalg.inv(poses[y]))
-            weights.append(100.0)
+        # essential graph: covis max-spanning-tree (Kruskal) + strong covis
+        # links (CovisGraph::getEG, covisgraph.cpp:253; consumed by
+        # correctMap loopdetector.cpp:3024)
+        for a, b, w in world_map.essential_graph(min_weight=min_covis_weight):
+            a_i, b_i = slot_index[a], slot_index[b]
+            edges_i.append(a_i)
+            edges_j.append(b_i)
+            meas.append(poses[a_i] @ np.linalg.inv(poses[b_i]))
+            # temporal bridges (w == 1) carry odometry-grade confidence;
+            # covis edges use their shared-observation count as weight
+            # (graphoptsim3.cpp:116-145)
+            weights.append(100.0 if w <= 1.0 else float(w))
         # the loop edge: measured relative pose between cur and matched
         ci = slot_index[info.cur_kf]
         mi = slot_index[info.matched_kf]

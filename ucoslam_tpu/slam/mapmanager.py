@@ -5,11 +5,28 @@ per SURVEY.md §3.3): per new keyframe — addKeyFrame (:1953), recent-point
 culling, epipolar matching with covis neighbours -> triangulation
 (:3728-3816,10093) bounded by maxNewPoints, stereo direct points, duplicate
 fusion (:8720-9189), keyframe culling by redundancy (:6098), local BA
-(:10815), loop closure. In sequential mode (our default) this runs inline
-between frames, matching the reference's deterministic runSequential path.
+(:10815), loop closure.
+
+Two dispatch modes, matching the reference's runSequential switch
+(ucoslamtypes.h:90; thread machinery mapmanager.h:740,1178,1188):
+
+- sequential (deterministic): the System calls new_keyframe() inline
+  between frames.
+- async (the reference's default): a mapping worker thread consumes a
+  bounded queue of keyframe candidates (the reference's TSQueue) while
+  tracking continues on immutable state snapshots. The map has a SINGLE
+  WRITER — this worker; even the tracker's seen/visible counter bumps are
+  routed through the queue, so no locks guard the (atomically swapped)
+  functional MapState. Pose corrections from mapping (local BA / loop
+  closure / metric rescale) are published as an update the tracker
+  consumes at the next frame start (the reference's mapUpdate/bigChange,
+  mapmanager.h:847,859).
 """
 
 from __future__ import annotations
+
+import queue
+import threading
 
 import numpy as np
 import jax.numpy as jnp
@@ -58,11 +75,142 @@ class MapManager:
         self.kfdb = KeyFrameDataBase(params.maxKeyFrames)
         self.loop_detector = LoopDetector(params, cam, self.kfdb)
         self.loop_closures = 0  # loops accepted (bigChange counter)
+        # async dispatch state (started by start_async)
+        self._queue: queue.Queue | None = None
+        self._thread: threading.Thread | None = None
+        self._idle = threading.Event()
+        self._idle.set()
+        self._update_lock = threading.Lock()
+        self._pending_update: dict | None = None
+        self._worker_error: BaseException | None = None
+        self._pending_kf = 0  # keyframe candidates queued or in flight
+
+    # ------------------------------------------------------------------
+    # Async dispatch (the reference's mapping thread, mapmanager.h:1178)
+    # ------------------------------------------------------------------
+    def start_async(self, world_map: Map) -> None:
+        """Spawn the mapping worker (non-runSequential mode)."""
+        if self._thread is not None:
+            return
+        self._queue = queue.Queue(maxsize=4)  # the reference's bounded TSQueue
+        self._thread = threading.Thread(
+            target=self._worker_loop, args=(world_map,), daemon=True,
+            name="ucoslam-mapper",
+        )
+        self._thread.start()
+
+    def stop_async(self) -> None:
+        if self._thread is None:
+            return
+        self._queue.put(("stop", None))
+        self._thread.join(timeout=60)
+        self._thread = None
+        self._queue = None
+
+    @property
+    def is_async(self) -> bool:
+        return self._thread is not None
+
+    def busy(self) -> bool:
+        """True while KEYFRAME work is queued or in flight (the reference's
+        WORKING state, mapmanager.h:740). Stats messages don't count — they
+        are cheap counter bumps that arrive every frame."""
+        return self._pending_kf > 0
+
+    def wait_idle(self) -> None:
+        """Block until the worker drains (UcoSlam::waitForFinished)."""
+        if self._queue is None:
+            return
+        self._queue.join()
+        self._idle.wait()
+        if self._worker_error is not None:
+            err, self._worker_error = self._worker_error, None
+            raise err
+
+    def enqueue_keyframe(self, frame: Frame) -> bool:
+        """Hand a keyframe candidate to the worker; False if the queue is
+        full (mapper saturated — the tracker just keeps tracking)."""
+        try:
+            self._pending_kf += 1
+            self._queue.put_nowait(("kf", frame))
+            return True
+        except queue.Full:
+            self._pending_kf -= 1
+            return False
+
+    def enqueue_stats(self, vis_mask, seen_mask) -> None:
+        """Route tracker counter bumps through the single writer."""
+        try:
+            self._queue.put_nowait(("stats", (vis_mask, seen_mask)))
+        except queue.Full:
+            pass  # counters are advisory; drop under backpressure
+
+    def consume_update(self) -> dict | None:
+        """Pop the pending pose-correction event (mapUpdate/bigChange):
+        {'dT': 4x4 old-kf-pose^-1 @ new-kf-pose, 'scale': float,
+        'big_change': bool} or None."""
+        with self._update_lock:
+            upd, self._pending_update = self._pending_update, None
+        return upd
+
+    def _publish_update(self, pose_before: np.ndarray, pose_after: np.ndarray,
+                        scale: float, big_change: bool) -> None:
+        dT = np.linalg.inv(pose_before) @ pose_after
+        with self._update_lock:
+            prev = self._pending_update
+            if prev is not None:
+                # compose: corrections apply oldest-first
+                dT = prev["dT"] @ dT
+                scale = prev["scale"] * scale
+                big_change = big_change or prev["big_change"]
+            self._pending_update = {
+                "dT": dT.astype(np.float32), "scale": scale,
+                "big_change": big_change,
+            }
+
+    def _worker_loop(self, world_map: Map) -> None:
+        while True:
+            kind, payload = self._queue.get()
+            self._idle.clear()
+            try:
+                if kind == "stop":
+                    return
+                if kind == "stats":
+                    world_map.bump_point_stats(*payload)
+                elif kind == "kf":
+                    frame = payload
+                    pose_before = np.asarray(frame.pose_f2g).copy()
+                    self.last_scale_correction = 1.0
+                    loops_before = self.loop_closures
+                    kf_slot = self.new_keyframe(world_map, frame)
+                    pose_after = np.asarray(world_map.state.kf_pose[kf_slot])
+                    self._publish_update(
+                        pose_before, pose_after,
+                        self.last_scale_correction,
+                        self.loop_closures != loops_before,
+                    )
+            except BaseException as e:  # surface on wait_idle
+                self._worker_error = e
+            finally:
+                if kind == "kf":
+                    self._pending_kf -= 1
+                self._idle.set()
+                self._queue.task_done()
 
     # ------------------------------------------------------------------
     def new_keyframe(self, world_map: Map, frame: Frame) -> int:
         """Insert `frame` as a keyframe and grow the map around it."""
         p = self.params
+        # async: the candidate's point ids were assigned against an older
+        # state snapshot — drop ids whose slots were freed/recycled meanwhile
+        ids = np.asarray(frame.ids)
+        if (ids >= 0).any():
+            alive = np.asarray(world_map.state.pt_active)
+            stale = (ids >= 0) & ~alive[np.clip(ids, 0, len(alive) - 1)]
+            if stale.any():
+                frame = frame._replace(
+                    ids=jnp.asarray(np.where(stale, -1, ids).astype(np.int32))
+                )
         kf_slot = world_map.add_keyframe(frame)
         self.kf_counter += 1
 

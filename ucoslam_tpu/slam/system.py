@@ -45,6 +45,10 @@ class System:
         self.frames_since_kf = 0
         self.last_kf_inliers = 0
         self.stats_log = []
+        # non-sequential: spawn the mapping worker (the reference's default
+        # two-thread pipeline; runSequential=True keeps everything inline)
+        if not params.runSequential:
+            self.manager.start_async(self.map)
 
     # -- helpers --------------------------------------------------------
     def _prior(self) -> jnp.ndarray:
@@ -64,6 +68,8 @@ class System:
 
         (counterpart UcoSlam::process -> System::process, ucoslam.cpp:20-28)
         """
+        if self.manager.is_async:
+            self._consume_map_update()
         if self.map.n_keyframes == 0:
             if self.mode == Mode.LOCALIZATION:
                 return None
@@ -103,6 +109,25 @@ class System:
         pose = np.asarray(res.pose_f2g)
         self._update_motion_model(pose)
         self.frames_since_kf += 1
+
+        # point seen/visible counters: applied by the single map writer
+        if res.vis_mask is not None:
+            if self.manager.is_async:
+                self.manager.enqueue_stats(res.vis_mask, res.seen_mask)
+            else:
+                self.map.bump_point_stats(res.vis_mask, res.seen_mask)
+
+        if self.manager.is_async:
+            if (
+                self.mode == Mode.SLAM
+                and self._need_keyframe(res)
+                and not self.manager.busy()
+            ):
+                if self.manager.enqueue_keyframe(res.frame):
+                    self.frames_since_kf = 0
+                    self.last_kf_inliers = max(res.n_inliers, 1)
+            self._log(frame, pose, res.n_inliers)
+            return pose
 
         if self.mode == Mode.SLAM and self._need_keyframe(res):
             self.manager.last_scale_correction = 1.0
@@ -273,6 +298,29 @@ class System:
                 "n_kf": self.map.n_keyframes,
             }
         )
+
+    def _consume_map_update(self) -> None:
+        """Apply a pending mapping-side pose correction (the reference's
+        mapUpdate / bigChange, mapmanager.h:847,859): the keyframe the
+        candidate became moved under local BA / loop closure / rescale, so
+        re-anchor the tracker pose relative to its corrected keyframe."""
+        upd = self.manager.consume_update()
+        if upd is None or self.pose is None:
+            return
+        self.pose = (self.pose @ upd["dT"]).astype(np.float32)  # pose @ P0^-1 @ P1
+        if upd["big_change"] or upd["scale"] != 1.0:
+            # loop closure / metric rescale: motion model is invalid
+            self.prev_pose = None
+            self.velocity = np.eye(4, dtype=np.float32)
+
+    def wait_for_finished(self) -> None:
+        """Drain pending mapping work (UcoSlam::waitForFinished)."""
+        if self.manager.is_async:
+            self.manager.wait_idle()
+            self._consume_map_update()
+
+    def shutdown(self) -> None:
+        self.manager.stop_async()
 
     # -- public control (facade surface) --------------------------------
     def set_mode(self, mode: Mode) -> None:

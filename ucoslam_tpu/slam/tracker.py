@@ -36,6 +36,8 @@ class TrackResult(NamedTuple):
     n_matches: int
     n_inliers: int
     matched_point_slots: np.ndarray  # (n,) int32 slots of inlier points
+    vis_mask: jnp.ndarray | None = None  # (P,) bool — points searched this frame
+    seen_mask: jnp.ndarray | None = None  # (P,) bool — points matched inlier
 
 
 @jax.jit
@@ -78,17 +80,18 @@ def _track_step(
     pt_slots = jnp.arange(P, dtype=jnp.int32)
     safe_k = jnp.where(inlier, m.kpt_idx, frame.n)
     ids = jnp.full((frame.n,), -1, jnp.int32).at[safe_k].set(pt_slots, mode="drop")
-    # seen/visible counter updates (MapPoint statistics, mappoint.h:73-74)
-    n_visible_upd = state.pt_n_visible + (m.point_valid).astype(jnp.int32)
-    n_seen_upd = state.pt_n_seen + inlier.astype(jnp.int32)
+    # seen/visible masks (MapPoint statistics, mappoint.h:73-74); returned as
+    # masks so the single map-writer (System in sequential mode, the mapping
+    # worker in async mode) applies the increments — the tracker never
+    # mutates the shared map
     return (
         res.pose_f2g,
         ids,
         inlier,
         m.n_matched,
         res.n_inliers,
-        n_visible_upd,
-        n_seen_upd,
+        m.point_valid,
+        inlier,
     )
 
 
@@ -119,7 +122,7 @@ class Tracker:
     def track(self, world_map: Map, frame: Frame, prior: jnp.ndarray) -> TrackResult:
         st = world_map.state
         p = self.params
-        pose, ids, inlier, n_matched, n_inliers, n_vis, n_seen = _track_step(
+        pose, ids, inlier, n_matched, n_inliers, vis, seen = _track_step(
             st,
             frame,
             self.cam,
@@ -132,7 +135,7 @@ class Tracker:
         if n_inl < 15:
             # One retry with a widened search radius (the reference widens
             # projDistThr when tracking weakens).
-            pose, ids, inlier, n_matched, n_inliers, n_vis, n_seen = _track_step(
+            pose, ids, inlier, n_matched, n_inliers, vis, seen = _track_step(
                 st,
                 frame,
                 self.cam,
@@ -143,8 +146,6 @@ class Tracker:
             )
             n_inl = int(n_inliers)
         ok = n_inl >= 15
-        if ok:
-            world_map.state = st._replace(pt_n_visible=n_vis, pt_n_seen=n_seen)
         slots = np.nonzero(np.asarray(inlier))[0].astype(np.int32)
         return TrackResult(
             ok=ok,
@@ -153,6 +154,8 @@ class Tracker:
             n_matches=int(n_matched),
             n_inliers=n_inl,
             matched_point_slots=slots,
+            vis_mask=vis if ok else None,
+            seen_mask=seen if ok else None,
         )
 
     def relocalize(self, world_map: Map, frame: Frame) -> TrackResult:
