@@ -12,6 +12,17 @@ Descriptor pattern: a fixed seeded-Gaussian BRIEF pattern (sigma = patch/5,
 the original BRIEF recipe) rather than OpenCV's learned table — descriptors
 are NOT bit-compatible with OpenCV ORB, which is fine: the engine only ever
 compares its own descriptors (SURVEY.md §7 'behavioral, not bitwise').
+
+TPU hot-path design: per-pixel gathers are the enemy (tens of ns each on
+the sparse core path), so orientation + blur + descriptor sampling all run
+from ONE 37x37 patch per keypoint, read with row-block dynamic slices:
+  patch -> IC moments as a (N, 961) @ (961, 2) matmul -> angle
+        -> in-patch separable Gaussian blur (shifted adds)
+        -> rotated-BRIEF sampling as a one-hot matmul against one of 64
+           precomputed rotation tables (angle quantized to 5.6 deg — below
+           the nearest-pixel rounding noise of the pattern itself).
+The descriptor stage is pure MXU work; the only gathers left are the N
+patch reads.
 """
 
 from __future__ import annotations
@@ -25,10 +36,9 @@ import numpy as np
 
 from ucoslam_tpu.ops.fast import fast_score_map, nms3x3, topk_grid
 from ucoslam_tpu.ops.image import (
-    bilinear_sample,
     build_pyramid,
-    gaussian_blur,
-    keypoint_moments,
+    extract_patches,
+    gaussian_kernel1d,
 )
 
 PATCH_RADIUS = 15
@@ -36,14 +46,55 @@ EDGE_MARGIN = 19  # keypoints closer than this to a level border are dropped
 N_PAIRS = 256
 
 
+PATTERN_RADIUS = 13  # max pattern norm: rotated samples stay inside the patch
+DESC_BINS = 64  # rotation tables (5.6 deg quantization)
+
+
 def _brief_pattern(seed: int = 42) -> np.ndarray:
-    """(256, 2, 2) int8 sampling-pair offsets, Gaussian sigma = patch/5."""
+    """(256, 2, 2) sampling-pair offsets, Gaussian sigma = patch/5, norms
+    clipped to PATTERN_RADIUS so any rotation stays inside the 31x31 patch."""
     rng = np.random.default_rng(seed)
     pts = rng.normal(0.0, PATCH_RADIUS / 5.0 * 2.0, size=(N_PAIRS, 2, 2))
-    return np.clip(np.round(pts), -PATCH_RADIUS, PATCH_RADIUS).astype(np.float32)
+    norm = np.linalg.norm(pts, axis=-1, keepdims=True).clip(1e-9)
+    pts = pts * np.minimum(1.0, PATTERN_RADIUS / norm)
+    return np.round(pts).astype(np.float32)
 
 
 BRIEF_PATTERN = _brief_pattern()
+
+
+def _rotation_tables() -> np.ndarray:
+    """(DESC_BINS, P*P, 512) one-hot sampling tables: table[b] maps a
+    flattened (2*PATCH_RADIUS+1)^2 patch to the 512 pattern samples rotated
+    by 2*pi*b/DESC_BINS, nearest-pixel (cvRound-style, like OpenCV ORB)."""
+    P = 2 * PATCH_RADIUS + 1
+    flat = BRIEF_PATTERN.reshape(-1, 2)  # (512, 2) sample order: pair-major
+    tables = np.zeros((DESC_BINS, P * P, 2 * N_PAIRS), np.float32)
+    for b in range(DESC_BINS):
+        a = 2.0 * np.pi * b / DESC_BINS
+        ca, sa = np.cos(a), np.sin(a)
+        rx = np.clip(np.round(ca * flat[:, 0] - sa * flat[:, 1]).astype(int)
+                     + PATCH_RADIUS, 0, P - 1)
+        ry = np.clip(np.round(sa * flat[:, 0] + ca * flat[:, 1]).astype(int)
+                     + PATCH_RADIUS, 0, P - 1)
+        tables[b, ry * P + rx, np.arange(2 * N_PAIRS)] = 1.0
+    return tables
+
+
+ROTATION_TABLES = _rotation_tables()
+
+
+def _moment_kernel() -> np.ndarray:
+    """(P*P, 2) disc-masked (x, y) weights for IC moments."""
+    r = PATCH_RADIUS
+    ys, xs = np.mgrid[-r: r + 1, -r: r + 1]
+    disc = ((xs * xs + ys * ys) <= r * r).astype(np.float32)
+    return np.stack([(xs * disc).reshape(-1), (ys * disc).reshape(-1)], -1)
+
+
+MOMENT_KERNEL = _moment_kernel()
+BLUR_K = 7  # in-patch Gaussian (matches the reference's GaussianBlur(7,7,2))
+BLUR_SIGMA = 2.0
 
 
 class Keypoints(NamedTuple):
@@ -129,46 +180,73 @@ class ORBExtractor:
         xy, resp, valid = topk_grid(score, self.cell, self.k_per_cell, budget)
         return xy, resp, valid
 
-    def _orient(self, level_img: jnp.ndarray, xy: jnp.ndarray) -> jnp.ndarray:
-        m10, m01 = keypoint_moments(level_img, xy, PATCH_RADIUS)
-        return jnp.arctan2(m01, m10)
+    def _extract_support_patches(self, level_img: jnp.ndarray, xy: jnp.ndarray):
+        """(N, 37, 37) raw patches: descriptor patch + blur support ring."""
+        support = PATCH_RADIUS + BLUR_K // 2  # 18: blur support around patch
+        need = 2 * support + 1
+        h, w = level_img.shape
+        if h < need or w < need:
+            # levels smaller than one patch yield no valid keypoints
+            # (EDGE_MARGIN) — pad so the slice shape stays legal
+            level_img = jnp.pad(
+                level_img, ((0, max(0, need - h)), (0, max(0, need - w)))
+            )
+        return extract_patches(level_img, xy, support)
 
-    def _describe(self, blurred: jnp.ndarray, xy: jnp.ndarray, angle: jnp.ndarray):
-        """Rotated BRIEF: sample 2x256 points per keypoint, compare, pack."""
-        ca, sa = jnp.cos(angle), jnp.sin(angle)  # (N,)
-        pat = jnp.asarray(BRIEF_PATTERN)  # (256, 2, 2) as (pair, endpoint, xy)
-        px = pat[..., 0][None]  # (1, 256, 2)
-        py = pat[..., 1][None]
-        rx = ca[:, None, None] * px - sa[:, None, None] * py  # (N, 256, 2)
-        ry = sa[:, None, None] * px + ca[:, None, None] * py
-        sample_x = xy[:, None, None, 0] + rx
-        sample_y = xy[:, None, None, 1] + ry
-        vals = bilinear_sample(blurred, jnp.stack([sample_x, sample_y], -1))
-        bits = (vals[..., 0] < vals[..., 1]).astype(jnp.uint32)  # (N, 256)
+    @staticmethod
+    def _orient_and_describe(patches: jnp.ndarray):
+        """Patch batch (all levels concatenated) -> IC angles + descriptors.
+
+        All sampling is matmul work on the patch batch (see module
+        docstring); the Gaussian blur the reference applies to the whole
+        level before describing runs inside the patch instead. Batching all
+        levels into one call amortizes the fixed einsum cost 8x.
+        """
+        P = 2 * PATCH_RADIUS + 1
+        b = BLUR_K // 2
+
+        # IC moments from the raw center patch (the reference computes the
+        # angle on the unblurred level image)
+        raw = patches[:, b:b + P, b:b + P].reshape(-1, P * P)
+        mom = raw @ jnp.asarray(MOMENT_KERNEL)  # (N, 2)
+        ang = jnp.arctan2(mom[:, 1], mom[:, 0])
+
+        # separable 7x7 blur, valid region = the 31x31 center
+        k = gaussian_kernel1d(BLUR_K, BLUR_SIGMA)
+        tmp = sum(float(k[i]) * patches[:, i:i + P, :] for i in range(BLUR_K))
+        blur = sum(float(k[i]) * tmp[:, :, i:i + P] for i in range(BLUR_K))
+
+        # rotated sampling: one-hot matmul against the angle's rotation table
+        bidx = jnp.round(ang / (2.0 * jnp.pi) * DESC_BINS).astype(jnp.int32) % DESC_BINS
+        onehot = jax.nn.one_hot(bidx, DESC_BINS, dtype=jnp.bfloat16)  # (N, B)
+        tables = jnp.asarray(ROTATION_TABLES, jnp.bfloat16)  # (B, P*P, 512)
+        samp = jnp.einsum(
+            "np,bps,nb->ns", blur.reshape(-1, P * P).astype(jnp.bfloat16),
+            tables, onehot,
+        )  # (N, 512) pair-major: even = endpoint 0, odd = endpoint 1
+        bits = (samp[:, 0::2] < samp[:, 1::2]).astype(jnp.uint32)  # (N, 256)
         shifts = jnp.arange(32, dtype=jnp.uint32)
         words = bits.reshape(-1, 8, 32) << shifts[None, None, :]
-        return jnp.sum(words, axis=-1, dtype=jnp.uint32)  # (N, 8)
+        return ang, jnp.sum(words, axis=-1, dtype=jnp.uint32)  # (N,), (N, 8)
 
     def _detect_and_compute(self, img: jnp.ndarray, threshold=7.0) -> Keypoints:
         levels = build_pyramid(img, self.n_levels, self.scale_factor)
-        all_xy, all_resp, all_oct, all_ang, all_desc, all_valid = [], [], [], [], [], []
+        all_xy, all_resp, all_oct, all_valid, all_patches = [], [], [], [], []
         for lv, level_img in enumerate(levels):
             budget = self.budgets[lv]
             xy, resp, valid = self._detect_level(level_img, budget, threshold)
-            ang = self._orient(level_img, xy)
-            blurred = gaussian_blur(level_img)
-            desc = self._describe(blurred, xy, ang)
+            all_patches.append(self._extract_support_patches(level_img, xy))
             all_xy.append(xy * self.scales[lv])
             all_resp.append(resp)
             all_oct.append(jnp.full((budget,), lv, jnp.int32))
-            all_ang.append(ang)
-            all_desc.append(desc)
             all_valid.append(valid)
+        # orientation + descriptors for ALL levels' keypoints in one batch
+        ang, desc = self._orient_and_describe(jnp.concatenate(all_patches))
         return Keypoints(
             xy=jnp.concatenate(all_xy),
             response=jnp.concatenate(all_resp),
             octave=jnp.concatenate(all_oct),
-            angle=jnp.concatenate(all_ang),
-            desc=jnp.concatenate(all_desc),
+            angle=ang,
+            desc=desc,
             valid=jnp.concatenate(all_valid),
         )

@@ -20,7 +20,7 @@ from ucoslam_tpu.mapping.frame import Frame
 from ucoslam_tpu.ops.hamming import (
     INVALID_DIST,
     filter_ambiguous_train_sized,
-    hamming_matrix,
+    hamming_matrix_mxu,
     match_best2,
 )
 
@@ -82,7 +82,8 @@ def match_points_to_frame(
     in_radius = d2 < (radius[None, :] ** 2)
     octave_ok = jnp.abs(frame.octave[None, :] - pred_octave[:, None]) <= 1
 
-    dmat = hamming_matrix(pt_desc, frame.desc)  # (L, N)
+    # MXU bit-matmul: ~2x the VPU popcount path at map x frame sizes
+    dmat = hamming_matrix_mxu(pt_desc, frame.desc)  # (L, N)
     mask = in_radius & octave_ok & visible[:, None] & frame.valid[None, :]
     kpt_idx, best, second = match_best2(dmat, extra_mask=mask)
     accept = (best <= max_desc_dist) & (best.astype(jnp.float32) < 0.9 * second)

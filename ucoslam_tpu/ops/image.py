@@ -125,6 +125,21 @@ def keypoint_moments(img: jnp.ndarray, xy: jnp.ndarray, radius: int = 15):
     return m10, m01
 
 
+def extract_patches(img: jnp.ndarray, xy: jnp.ndarray, radius: int) -> jnp.ndarray:
+    """(N, 2r+1, 2r+1) square patches centered at rounded xy.
+
+    vmapped dynamic_slice: XLA lowers this to row-block gathers (~N x 2r+1
+    contiguous loads) instead of per-pixel gathers — the TPU-fast way to
+    read keypoint neighbourhoods. Out-of-range starts clamp to the image
+    (only padded/invalid keypoints land there; their output is masked
+    downstream).
+    """
+    P = 2 * radius + 1
+    y0 = jnp.round(xy[:, 1]).astype(jnp.int32) - radius
+    x0 = jnp.round(xy[:, 0]).astype(jnp.int32) - radius
+    return jax.vmap(lambda y, x: jax.lax.dynamic_slice(img, (y, x), (P, P)))(y0, x0)
+
+
 @partial(jax.jit, static_argnames=("mode",))
 def bilinear_sample(img: jnp.ndarray, xy: jnp.ndarray, mode: str = "nearest") -> jnp.ndarray:
     """Sample image at continuous (x, y) locations.
