@@ -144,3 +144,33 @@ class TestAsyncMapping:
         assert sys_.map.n_keyframes >= 3
         assert sys_.map.n_points > 100
         sys_.shutdown()
+
+
+class TestRenderModeE2E:
+    """Full image path through the REAL ORB frontend (render -> FAST ->
+    patch-matmul descriptors -> SLAM), with an accuracy gate — the closest
+    in-repo equivalent of the reference's video benchmark protocol."""
+
+    def test_render_sequence_ate(self):
+        from ucoslam_tpu.api import UcoSlam
+
+        seq = SyntheticSequence(
+            n_frames=16, seed=13, n_points=700, n_kpt_slots=512,
+            motion_scale=0.6,
+        )
+        params = PARAMS.replace(
+            maxKeyPointsPerFrame=512, nOctaveLevels=4, detectMarkers=False,
+        )
+        slam = UcoSlam()
+        slam.setParams(None, params, seq.cam)
+        poses = {}
+        for i in range(seq.n_frames):
+            pose = slam.process(seq.render(i), fseq=i)
+            if pose is not None:
+                poses[i] = pose
+        assert len(poses) >= 0.6 * seq.n_frames, f"tracked {len(poses)}"
+        idx, est = centers_of(poses)
+        ate = ate_rmse(est, seq.gt_positions()[idx], with_scale=True)
+        # image-pipeline gate is looser than oracle mode: descriptor and
+        # corner localization noise are real here
+        assert ate < 0.15, f"render-mode ATE {ate}"
