@@ -65,6 +65,43 @@ def pyramid_shapes(h: int, w: int, n_levels: int, scale_factor: float):
     return shapes
 
 
+def _resize_weight_mat(in_size: int, out_size: int) -> np.ndarray:
+    """(out, in) anti-aliased triangle-kernel interpolation matrix.
+
+    Reproduces jax.image.resize(method='linear', antialias=True) exactly
+    (same half-pixel sampling, kernel widened by the downscale ratio, weight
+    renormalization, out-of-span zeroing) — but as an explicit matrix so the
+    resize runs as a matmul on the MXU instead of the gather-based
+    scale-and-translate lowering, which is latency-bound on TPU.
+    """
+    scale = out_size / in_size
+    kernel_scale = max(1.0, 1.0 / scale)
+    sample_f = (np.arange(out_size) + 0.5) / scale - 0.5
+    x = np.abs(sample_f[:, None] - np.arange(in_size)[None, :]) / kernel_scale
+    weights = np.maximum(0.0, 1.0 - x)
+    total = weights.sum(axis=1, keepdims=True)
+    weights = np.where(np.abs(total) > 1e-6, weights / total, 0.0)
+    in_span = (sample_f >= -0.5) & (sample_f <= in_size - 0.5)
+    return np.where(in_span[:, None], weights, 0.0).astype(np.float32)
+
+
+def resize_matmul(img: jnp.ndarray, out_shape: tuple[int, int]) -> jnp.ndarray:
+    """Bilinear (anti-aliased) resize as two MXU matmuls.
+
+    Numerically matches jax.image.resize(img, out_shape, 'linear').
+    """
+    h, w = img.shape
+    oh, ow = out_shape
+    if (oh, ow) == (h, w):
+        return img
+    ah = jnp.asarray(_resize_weight_mat(h, oh))
+    aw = jnp.asarray(_resize_weight_mat(w, ow))
+    # HIGHEST: default matmul precision on TPU is bf16-accumulated, which
+    # perturbs intensities by ~1 gray level and compounds across levels.
+    hi = jax.lax.Precision.HIGHEST
+    return jnp.matmul(jnp.matmul(ah, img, precision=hi), aw.T, precision=hi)
+
+
 def build_pyramid(img: jnp.ndarray, n_levels: int, scale_factor: float):
     """(H, W) float32 -> list of per-level images (static shapes)."""
     h, w = img.shape
@@ -73,9 +110,7 @@ def build_pyramid(img: jnp.ndarray, n_levels: int, scale_factor: float):
     for lv in range(1, n_levels):
         # Resize from the previous level (as the reference does) to avoid
         # aliasing from repeated large downscales.
-        levels.append(
-            jax.image.resize(levels[-1], shapes[lv], method="linear")
-        )
+        levels.append(resize_matmul(levels[-1], shapes[lv]))
     return levels
 
 
