@@ -58,6 +58,28 @@ CHI2_8D = 15.507  # 95% quantile, 8 dof (marker 4-corner edges)
 CHI2_1D = 3.841  # 95% quantile, 1 dof (point-to-epipolar-line)
 
 
+def hamming_gate_for(desc: "DescriptorType") -> float:
+    """Per-descriptor matching gate on the unified 256-bit Hamming pipeline.
+
+    The reference gates each family in its native metric
+    (gridextractor.cpp:36-39: AKAZE 120/486 bits, BRISK 70/512, FREAK
+    70/512, SURF 0.125 L2; ORB 50/256 per Params::setParams). All
+    descriptors here are packed to 256 bits (truncation for AKAZE/BRISK,
+    native 256-pair FREAK, LSH binarization for SURF), so the gates scale
+    by bit count — and SURF's L2 angle gate maps through the LSH identity
+    E[hamming] = 256 * angle / pi (~10 bits at 0.125 rad) plus slack for
+    quantization noise.
+    """
+    return {
+        DescriptorType.ORB: 50.0,
+        DescriptorType.AKAZE: 63.0,  # 120 * 256/486
+        DescriptorType.BRISK: 35.0,  # 70 * 256/512
+        DescriptorType.FREAK: 35.0,
+        DescriptorType.SURF: 32.0,
+        DescriptorType.NONE: 50.0,
+    }[desc]
+
+
 @dataclass(frozen=True)
 class Params:
     """All tunables of the SLAM system.
@@ -131,7 +153,7 @@ class Params:
             kpDescriptorType=desc,
             nOctaveLevels=8,
             scaleFactor=1.2,
-            maxDescDistance=50.0 if desc == DescriptorType.ORB else 0.8,
+            maxDescDistance=hamming_gate_for(desc),
         )
 
     def replace(self, **kw: Any) -> "Params":

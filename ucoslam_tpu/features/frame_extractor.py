@@ -28,7 +28,12 @@ class FrameExtractor:
 
         self.params = params
         self.cam = cam
-        if params.kpDescriptorType == DescriptorType.ORB:
+        native = {
+            DescriptorType.ORB: "orb",
+            DescriptorType.FREAK: "freak",
+            DescriptorType.SURF: "surf",
+        }
+        if params.kpDescriptorType in native:
             self.orb = ORBExtractor(
                 max_features=params.maxKeyPointsPerFrame,
                 n_levels=params.nOctaveLevels,
@@ -37,10 +42,11 @@ class FrameExtractor:
                 # maps (reference semantics): one keypoint per coarse cell
                 cell=64 if params.KPNonMaximaSuppresion else 32,
                 k_per_cell=1 if params.KPNonMaximaSuppresion else 4,
+                descriptor=native[params.kpDescriptorType],
             )
         else:
-            # Feature2DSerializable::create plug point: non-ORB descriptors
-            # route through the cv2-backed GridExtractor
+            # Feature2DSerializable::create plug point: AKAZE/BRISK route
+            # through the cv2-backed GridExtractor (gridextractor.cpp:36-39)
             from ucoslam_tpu.features.grid_extractor import GridExtractor
 
             self.orb = GridExtractor(params)

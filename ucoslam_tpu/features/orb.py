@@ -137,6 +137,7 @@ class ORBExtractor:
         fast_threshold: float = 7.0,
         cell: int = 32,
         k_per_cell: int = 4,
+        descriptor: str = "orb",
     ):
         self.max_features = max_features
         self.n_levels = n_levels
@@ -147,6 +148,12 @@ class ORBExtractor:
         self.budgets = _level_budgets(max_features, n_levels, scale_factor)
         self.scales = [scale_factor ** lv for lv in range(n_levels)]
         self._jit_cache = {}
+        # descriptor family: "orb" (rBRIEF), "freak" (retina pairs), "surf"
+        # (Haar 64-d + LSH binarization) — all share FAST detection and the
+        # 256-bit packed format (features/descriptors.py)
+        if descriptor not in ("orb", "freak", "surf"):
+            raise ValueError(f"unknown descriptor family {descriptor!r}")
+        self.descriptor = descriptor
 
     # -- public API -----------------------------------------------------
     def detect_and_compute(self, img: jnp.ndarray) -> Keypoints:
@@ -193,14 +200,17 @@ class ORBExtractor:
             )
         return extract_patches(level_img, xy, support)
 
-    @staticmethod
-    def _orient_and_describe(patches: jnp.ndarray):
+    def _orient_and_describe(self, patches: jnp.ndarray):
         """Patch batch (all levels concatenated) -> IC angles + descriptors.
 
         All sampling is matmul work on the patch batch (see module
         docstring); the Gaussian blur the reference applies to the whole
         level before describing runs inside the patch instead. Batching all
         levels into one call amortizes the fixed einsum cost 8x.
+
+        The descriptor family is selected at construction: rBRIEF (ORB),
+        FREAK retina pairs, or SURF-LSH — all produce the packed 256-bit
+        format consumed by ops/hamming.py.
         """
         P = 2 * PATCH_RADIUS + 1
         b = BLUR_K // 2
@@ -211,20 +221,63 @@ class ORBExtractor:
         mom = raw @ jnp.asarray(MOMENT_KERNEL)  # (N, 2)
         ang = jnp.arctan2(mom[:, 1], mom[:, 0])
 
-        # separable 7x7 blur, valid region = the 31x31 center
-        k = gaussian_kernel1d(BLUR_K, BLUR_SIGMA)
-        tmp = sum(float(k[i]) * patches[:, i:i + P, :] for i in range(BLUR_K))
-        blur = sum(float(k[i]) * tmp[:, :, i:i + P] for i in range(BLUR_K))
-
-        # rotated sampling: one-hot matmul against the angle's rotation table
         bidx = jnp.round(ang / (2.0 * jnp.pi) * DESC_BINS).astype(jnp.int32) % DESC_BINS
         onehot = jax.nn.one_hot(bidx, DESC_BINS, dtype=jnp.bfloat16)  # (N, B)
-        tables = jnp.asarray(ROTATION_TABLES, jnp.bfloat16)  # (B, P*P, 512)
-        samp = jnp.einsum(
-            "np,bps,nb->ns", blur.reshape(-1, P * P).astype(jnp.bfloat16),
-            tables, onehot,
-        )  # (N, 512) pair-major: even = endpoint 0, odd = endpoint 1
-        bits = (samp[:, 0::2] < samp[:, 1::2]).astype(jnp.uint32)  # (N, 256)
+
+        if self.descriptor == "orb":
+            # separable 7x7 blur, valid region = the 31x31 center
+            k = gaussian_kernel1d(BLUR_K, BLUR_SIGMA)
+            tmp = sum(float(k[i]) * patches[:, i:i + P, :] for i in range(BLUR_K))
+            blur = sum(float(k[i]) * tmp[:, :, i:i + P] for i in range(BLUR_K))
+            # rotated sampling: one-hot matmul against the angle's table
+            tables = jnp.asarray(ROTATION_TABLES, jnp.bfloat16)  # (B, P*P, 512)
+            samp = jnp.einsum(
+                "np,bps,nb->ns", blur.reshape(-1, P * P).astype(jnp.bfloat16),
+                tables, onehot,
+            )  # (N, 512) pair-major: even = endpoint 0, odd = endpoint 1
+            bits = (samp[:, 0::2] < samp[:, 1::2]).astype(jnp.uint32)  # (N, 256)
+        elif self.descriptor == "freak":
+            from ucoslam_tpu.features.descriptors import FREAK_PAIRS, freak_tables
+
+            tables = jnp.asarray(freak_tables(), jnp.bfloat16)  # (B, P*P, 43)
+            samp = jnp.einsum(
+                "np,bps,nb->ns", raw.astype(jnp.bfloat16), tables, onehot
+            )  # (N, 43) smoothed retina samples (Gaussians live in the table)
+            pa = jnp.asarray(FREAK_PAIRS[:, 0])
+            pb = jnp.asarray(FREAK_PAIRS[:, 1])
+            bits = (samp[:, pa] < samp[:, pb]).astype(jnp.uint32)
+        else:  # surf
+            from ucoslam_tpu.features.descriptors import (
+                surf_lsh_projection,
+                surf_tables,
+            )
+
+            # central-difference gradients on the raw support patch
+            # (SURF's Haar responses), valid over the 31x31 center
+            gx = (patches[:, b:b + P, b + 1:b + 1 + P]
+                  - patches[:, b:b + P, b - 1:b - 1 + P]) * 0.5
+            gy = (patches[:, b + 1:b + 1 + P, b:b + P]
+                  - patches[:, b - 1:b - 1 + P, b:b + P]) * 0.5
+            # rotate gradients into the canonical keypoint frame using the
+            # quantized angle (consistent with the subregion tables)
+            a_q = 2.0 * jnp.pi * bidx.astype(jnp.float32) / DESC_BINS
+            ca = jnp.cos(a_q)[:, None]
+            sa = jnp.sin(a_q)[:, None]
+            gxf = gx.reshape(-1, P * P)
+            gyf = gy.reshape(-1, P * P)
+            gxr = ca * gxf + sa * gyf
+            gyr = -sa * gxf + ca * gyf
+            tables = jnp.asarray(surf_tables(), jnp.bfloat16)  # (B, P*P, 16)
+            pool = lambda m: jnp.einsum(  # noqa: E731
+                "np,bps,nb->ns", m.astype(jnp.bfloat16), tables, onehot
+            )
+            feats = jnp.concatenate(
+                [pool(gxr), pool(jnp.abs(gxr)), pool(gyr), pool(jnp.abs(gyr))],
+                axis=-1,
+            ).astype(jnp.float32)  # (N, 64)
+            feats = feats / jnp.linalg.norm(feats, axis=-1, keepdims=True).clip(1e-6)
+            proj = jnp.asarray(surf_lsh_projection())  # (64, 256)
+            bits = (feats @ proj > 0.0).astype(jnp.uint32)
         shifts = jnp.arange(32, dtype=jnp.uint32)
         words = bits.reshape(-1, 8, 32) << shifts[None, None, :]
         return ang, jnp.sum(words, axis=-1, dtype=jnp.uint32)  # (N,), (N, 8)
