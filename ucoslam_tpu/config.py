@@ -67,15 +67,17 @@ def hamming_gate_for(desc: "DescriptorType") -> float:
     descriptors here are packed to 256 bits (truncation for AKAZE/BRISK,
     native 256-pair FREAK, LSH binarization for SURF), so the gates scale
     by bit count — and SURF's L2 angle gate maps through the LSH identity
-    E[hamming] = 256 * angle / pi (~10 bits at 0.125 rad) plus slack for
-    quantization noise.
+    E[hamming] = 256 * angle / pi (~10 bits at 0.125 rad, std ~3 bits).
+    The SURF gate sits at E + ~2.5 std: SURF features are nonnegative
+    (|dx|/|dy| components), so unrelated descriptors correlate positively
+    and a looser gate admits false matches.
     """
     return {
         DescriptorType.ORB: 50.0,
         DescriptorType.AKAZE: 63.0,  # 120 * 256/486
         DescriptorType.BRISK: 35.0,  # 70 * 256/512
         DescriptorType.FREAK: 35.0,
-        DescriptorType.SURF: 32.0,
+        DescriptorType.SURF: 18.0,  # ~10 bits at the 0.125 rad gate + 2.5 std
         DescriptorType.NONE: 50.0,
     }[desc]
 
@@ -117,7 +119,10 @@ class Params:
 
     # ---- internal (reference src/ucoslamtypes.h:131-160) ----
     extraParams: str = ""
-    maxDescDistance: float = 50.0  # ORB Hamming gate (ref sets per descriptor)
+    # Hamming gate; sentinel -1 derives the per-descriptor gate from
+    # kpDescriptorType in __post_init__ (the reference always gets the
+    # per-type gate via getMinDescDistance — direct construction must too)
+    maxDescDistance: float = -1.0
     baseline_medianDepth_ratio_min: float = 0.01
     global_optimizer: str = "schur_lm"  # ours; reference default "g2o"
     minNumProjPoints: int = 3
@@ -145,6 +150,12 @@ class Params:
     matchTileN: int = 512  # Hamming matcher tile size
 
     # ------------------------------------------------------------------
+    def __post_init__(self):
+        if self.maxDescDistance < 0:
+            object.__setattr__(
+                self, "maxDescDistance", hamming_gate_for(self.kpDescriptorType)
+            )
+
     def setParams(self, sequential: bool, desc: DescriptorType = DescriptorType.ORB) -> "Params":
         """Counterpart of reference Params::setParams (ucoslamtypes.cpp:54-66)."""
         return dataclasses.replace(
@@ -157,6 +168,14 @@ class Params:
         )
 
     def replace(self, **kw: Any) -> "Params":
+        # switching descriptor type re-derives the per-type gate unless the
+        # caller pins maxDescDistance explicitly
+        if (
+            "kpDescriptorType" in kw
+            and "maxDescDistance" not in kw
+            and kw["kpDescriptorType"] != self.kpDescriptorType
+        ):
+            kw["maxDescDistance"] = -1.0
         return dataclasses.replace(self, **kw)
 
     # ---- serialization (reference: toStream/fromStream + YML I/O,

@@ -31,6 +31,8 @@ signature-stable).
 
 from __future__ import annotations
 
+import functools
+
 import numpy as np
 
 PATCH_RADIUS = 15  # must match features/orb.py PATCH_RADIUS
@@ -89,6 +91,7 @@ def _freak_pairs(seed: int = 7) -> np.ndarray:
 FREAK_PAIRS = _freak_pairs()
 
 
+@functools.lru_cache(maxsize=1)
 def freak_tables() -> np.ndarray:
     """(DESC_BINS, P*P, 43) Gaussian receptive-field sampling tables.
 
@@ -118,9 +121,16 @@ def freak_tables() -> np.ndarray:
 # --------------------------------------------------------------------------
 
 SURF_GRID = 4  # 4x4 subregions
-SURF_HALF = 14.0  # canonical-frame half-extent covered by the grid
+# canonical-frame half-extent covered by the grid: must satisfy
+# SURF_HALF <= PATCH_RADIUS / sqrt(2) so the rotated grid stays inside the
+# 31x31 support patch at EVERY rotation bin — at 45-degree bins, patch
+# pixels only reach canonical coords with max(|u|,|v|) <= R/sqrt(2); a
+# larger grid leaves the corner subregions empty and zeroes 16/64 features
+# for those bins, making descriptors rotation-dependent.
+SURF_HALF = 10.5
 
 
+@functools.lru_cache(maxsize=1)
 def surf_tables() -> np.ndarray:
     """(DESC_BINS, P*P, 16) rotated subregion pooling masks.
 
@@ -152,6 +162,7 @@ def surf_tables() -> np.ndarray:
     return tables / tot
 
 
+@functools.lru_cache(maxsize=1)
 def surf_lsh_projection(seed: int = 1234) -> np.ndarray:
     """(64, 256) seeded random-hyperplane LSH projection."""
     rng = np.random.default_rng(seed)
