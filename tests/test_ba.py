@@ -183,92 +183,93 @@ class TestMapIntegration:
         assert chi_after < chi_before
 
 
+def build_marker_map(in_plane=False, tilt=0.0):
+    from ucoslam_tpu.markers.ippe import marker_object_points
+    from ucoslam_tpu.geometry.se3 import se3_apply
+
+    params = Params().replace(
+        maxMapPoints=1024, maxKeyFrames=16, maxKeyPointsPerFrame=256,
+        detectMarkers=True, inPlaneMarkers=in_plane,
+    )
+    m = Map(params)
+    rng = np.random.default_rng(7)
+    n_pt = 180
+    X = rng.uniform(-2, 2, (n_pt, 3)).astype(np.float32)
+    X[:, 2] = rng.uniform(4, 9, n_pt)
+    desc = rng.integers(0, 2**32, (n_pt, 8), dtype=np.uint32)
+    dist = np.linalg.norm(X, axis=1)
+    slots = m.add_points(
+        X, X / dist[:, None], desc, dist / 1.2**7, dist * 1.1,
+        np.zeros(n_pt, np.int32), 0,
+    )
+    # two markers: flat in the z=5 plane (world z-axis normal), the
+    # second optionally tilted out of plane by `tilt` radians
+    size = 0.5
+    mk_true = []
+    for i, (cx, cy) in enumerate([(-1.0, 0.0), (1.2, 0.3)]):
+        ang = tilt if i == 1 else 0.0
+        Rx = np.array(
+            [[1, 0, 0], [0, np.cos(ang), -np.sin(ang)], [0, np.sin(ang), np.cos(ang)]],
+            np.float32,
+        )
+        T = np.eye(4, dtype=np.float32)
+        T[:3, :3] = Rx
+        T[:3, 3] = [cx, cy, 5.0]
+        mk_true.append(T)
+    obj = np.asarray(marker_object_points(jnp.float32(size)))
+
+    poses = []
+    for k in range(6):
+        xi = np.array(
+            [0.5 * k / 6, 0.02 * k, 0.0, 0.0, -0.05 * k / 6, 0.0], np.float32
+        )
+        T = np.asarray(se3_exp(jnp.asarray(xi)))
+        poses.append(T)
+        uv = np.asarray(CAM.project(se3_apply(jnp.asarray(T), jnp.asarray(X)))).copy()
+        uv += rng.normal(0, 0.3, uv.shape)
+        f = empty_frame(256)._replace(
+            fseq=jnp.int32(k),
+            und_xy=jnp.asarray(np.pad(uv, ((0, 76), (0, 0))).astype(np.float32)),
+            desc=jnp.asarray(np.vstack([desc, np.zeros((76, 8), np.uint32)])),
+            valid=jnp.asarray(np.arange(256) < n_pt),
+            ids=jnp.asarray(np.concatenate([slots, np.full(76, -1)]).astype(np.int32)),
+            pose_f2g=jnp.asarray(T),
+        )
+        m.add_keyframe(f)
+
+    # attach marker observations + (perturbed) marker poses to the state
+    st = m.state
+    mk_pose = np.asarray(st.mk_pose).copy()
+    mk_valid = np.asarray(st.mk_pose_valid).copy()
+    mk_size_a = np.asarray(st.mk_size).copy()
+    mk_id = np.asarray(st.mk_id).copy()
+    kf_mk_slot = np.asarray(st.kf_mk_slot).copy()
+    kf_mk_corners = np.asarray(st.kf_mk_corners).copy()
+    rng2 = np.random.default_rng(11)
+    for i, T_m in enumerate(mk_true):
+        xi = rng2.normal(0, 0.03, 6).astype(np.float32)
+        mk_pose[i] = np.asarray(se3_exp(jnp.asarray(xi))) @ T_m
+        mk_valid[i] = True
+        mk_size_a[i] = size
+        mk_id[i] = 100 + i
+        world = obj @ T_m[:3, :3].T + T_m[:3, 3]
+        for k, T_c in enumerate(poses):
+            q = world @ T_c[:3, :3].T + T_c[:3, 3]
+            uv = np.asarray(CAM.project(jnp.asarray(q.astype(np.float32))))
+            kf_mk_slot[k, i] = i
+            kf_mk_corners[k, i] = uv + rng2.normal(0, 0.2, uv.shape)
+    m.state = st._replace(
+        mk_pose=jnp.asarray(mk_pose), mk_pose_valid=jnp.asarray(mk_valid),
+        mk_size=jnp.asarray(mk_size_a), mk_id=jnp.asarray(mk_id),
+        kf_mk_slot=jnp.asarray(kf_mk_slot),
+        kf_mk_corners=jnp.asarray(kf_mk_corners),
+    )
+    return m, np.stack(mk_true), obj, poses
+
+
 class TestMarkerVertices:
     """Free marker SE3 vertices in BA (MarkerEdge, globaloptimizer_g2o.cpp
     :305-352) and the planar InPlaneMarkers constraint (:357-398)."""
-
-    def _build_marker_map(self, in_plane=False, tilt=0.0):
-        from ucoslam_tpu.markers.ippe import marker_object_points
-        from ucoslam_tpu.geometry.se3 import se3_apply
-
-        params = Params().replace(
-            maxMapPoints=1024, maxKeyFrames=16, maxKeyPointsPerFrame=256,
-            detectMarkers=True, inPlaneMarkers=in_plane,
-        )
-        m = Map(params)
-        rng = np.random.default_rng(7)
-        n_pt = 180
-        X = rng.uniform(-2, 2, (n_pt, 3)).astype(np.float32)
-        X[:, 2] = rng.uniform(4, 9, n_pt)
-        desc = rng.integers(0, 2**32, (n_pt, 8), dtype=np.uint32)
-        dist = np.linalg.norm(X, axis=1)
-        slots = m.add_points(
-            X, X / dist[:, None], desc, dist / 1.2**7, dist * 1.1,
-            np.zeros(n_pt, np.int32), 0,
-        )
-        # two markers: flat in the z=5 plane (world z-axis normal), the
-        # second optionally tilted out of plane by `tilt` radians
-        size = 0.5
-        mk_true = []
-        for i, (cx, cy) in enumerate([(-1.0, 0.0), (1.2, 0.3)]):
-            ang = tilt if i == 1 else 0.0
-            Rx = np.array(
-                [[1, 0, 0], [0, np.cos(ang), -np.sin(ang)], [0, np.sin(ang), np.cos(ang)]],
-                np.float32,
-            )
-            T = np.eye(4, dtype=np.float32)
-            T[:3, :3] = Rx
-            T[:3, 3] = [cx, cy, 5.0]
-            mk_true.append(T)
-        obj = np.asarray(marker_object_points(jnp.float32(size)))
-
-        poses = []
-        for k in range(6):
-            xi = np.array(
-                [0.5 * k / 6, 0.02 * k, 0.0, 0.0, -0.05 * k / 6, 0.0], np.float32
-            )
-            T = np.asarray(se3_exp(jnp.asarray(xi)))
-            poses.append(T)
-            uv = np.asarray(CAM.project(se3_apply(jnp.asarray(T), jnp.asarray(X)))).copy()
-            uv += rng.normal(0, 0.3, uv.shape)
-            f = empty_frame(256)._replace(
-                fseq=jnp.int32(k),
-                und_xy=jnp.asarray(np.pad(uv, ((0, 76), (0, 0))).astype(np.float32)),
-                desc=jnp.asarray(np.vstack([desc, np.zeros((76, 8), np.uint32)])),
-                valid=jnp.asarray(np.arange(256) < n_pt),
-                ids=jnp.asarray(np.concatenate([slots, np.full(76, -1)]).astype(np.int32)),
-                pose_f2g=jnp.asarray(T),
-            )
-            m.add_keyframe(f)
-
-        # attach marker observations + (perturbed) marker poses to the state
-        st = m.state
-        mk_pose = np.asarray(st.mk_pose).copy()
-        mk_valid = np.asarray(st.mk_pose_valid).copy()
-        mk_size_a = np.asarray(st.mk_size).copy()
-        mk_id = np.asarray(st.mk_id).copy()
-        kf_mk_slot = np.asarray(st.kf_mk_slot).copy()
-        kf_mk_corners = np.asarray(st.kf_mk_corners).copy()
-        rng2 = np.random.default_rng(11)
-        for i, T_m in enumerate(mk_true):
-            xi = rng2.normal(0, 0.03, 6).astype(np.float32)
-            mk_pose[i] = np.asarray(se3_exp(jnp.asarray(xi))) @ T_m
-            mk_valid[i] = True
-            mk_size_a[i] = size
-            mk_id[i] = 100 + i
-            world = obj @ T_m[:3, :3].T + T_m[:3, 3]
-            for k, T_c in enumerate(poses):
-                q = world @ T_c[:3, :3].T + T_c[:3, 3]
-                uv = np.asarray(CAM.project(jnp.asarray(q.astype(np.float32))))
-                kf_mk_slot[k, i] = i
-                kf_mk_corners[k, i] = uv + rng2.normal(0, 0.2, uv.shape)
-        m.state = st._replace(
-            mk_pose=jnp.asarray(mk_pose), mk_pose_valid=jnp.asarray(mk_valid),
-            mk_size=jnp.asarray(mk_size_a), mk_id=jnp.asarray(mk_id),
-            kf_mk_slot=jnp.asarray(kf_mk_slot),
-            kf_mk_corners=jnp.asarray(kf_mk_corners),
-        )
-        return m, np.stack(mk_true), obj, poses
 
     def _corner_err(self, m, mk_true, obj):
         mk_pose = np.asarray(m.state.mk_pose)[:2]
@@ -280,7 +281,7 @@ class TestMarkerVertices:
         return float(np.mean(errs))
 
     def test_marker_vertices_refined_by_global_ba(self):
-        m, mk_true, obj, _ = self._build_marker_map()
+        m, mk_true, obj, _ = build_marker_map()
         err0 = self._corner_err(m, mk_true, obj)
         global_bundle_adjustment(m, CAM, n_iters=25)
         err1 = self._corner_err(m, mk_true, obj)
@@ -291,7 +292,7 @@ class TestMarkerVertices:
     def test_in_plane_markers_flattened(self):
         # second marker tilted 0.12 rad out of the common plane; with
         # InPlaneMarkers the relative z-axis misalignment must shrink
-        m, mk_true, obj, _ = self._build_marker_map(in_plane=True, tilt=0.12)
+        m, mk_true, obj, _ = build_marker_map(in_plane=True, tilt=0.12)
 
         def rel_tilt(m):
             mk = np.asarray(m.state.mk_pose)[:2]
@@ -304,7 +305,7 @@ class TestMarkerVertices:
         assert t1 < 0.06, t1
 
     def test_marker_pose_written_back_only_when_free(self):
-        m, mk_true, obj, _ = self._build_marker_map()
+        m, mk_true, obj, _ = build_marker_map()
         before = np.asarray(m.state.mk_pose)[:2].copy()
         global_bundle_adjustment(m, CAM, n_iters=10)
         after = np.asarray(m.state.mk_pose)[:2]

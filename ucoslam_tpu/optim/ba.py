@@ -228,10 +228,20 @@ def _planar_residual_jac(problem: BAProblem, mk_pose):
     return r, -J2, J2
 
 
-def _total_cost(problem: BAProblem, cam_pose, mk_pose, pt_pos, cam, active, robust):
+def _identity(x):
+    return x
+
+
+def _total_cost(
+    problem: BAProblem, cam_pose, mk_pose, pt_pos, cam, active, robust,
+    psum=_identity,
+):
     """LM acceptance cost: keypoint edges (Huber in stage 0, quadratic
     after — the reference drops the robust kernel for the second stage),
-    plus quadratic marker and planar terms."""
+    plus quadratic marker and planar terms.
+
+    `psum` reduces the keypoint part over the point-sharded mesh axis when
+    running inside shard_map (marker terms are replicated, added after)."""
     c2, _ = _chi2_of(problem, cam_pose, pt_pos, cam)
     if robust:
         delta2 = jnp.where(problem.obs_depth > 0, CHI2_3D, CHI2_2D)
@@ -240,7 +250,7 @@ def _total_cost(problem: BAProblem, cam_pose, mk_pose, pt_pos, cam, active, robu
         )
     else:
         rho = c2
-    cost = jnp.sum(jnp.where(active, rho, 0.0))
+    cost = psum(jnp.sum(jnp.where(active, rho, 0.0)))
     if problem.mk_pose is not None:
         rm, _, _, _ = _marker_residual_jac(problem, cam_pose, mk_pose, cam)
         wm = problem.mobs_valid.astype(jnp.float32) * problem.mobs_w
@@ -252,20 +262,28 @@ def _total_cost(problem: BAProblem, cam_pose, mk_pose, pt_pos, cam, active, robu
     return cost
 
 
-@partial(jax.jit, static_argnames=("iters", "stages"))
-def ba_solve(
+def _staged_lm(
     problem: BAProblem,
     cam: CameraParams,
-    iters: int = 20,
-    stages: int = 2,
-) -> BAResult:
-    """LM with point marginalization and (optional) free marker vertices.
+    iters: int,
+    stages: int,
+    psum=_identity,
+    varying=_identity,
+):
+    """Staged adaptive-LM Schur solve — the single implementation behind
+    both `ba_solve` (single device; psum/varying = identity) and
+    `parallel.sharded_ba.sharded_ba_solve` (runs inside shard_map over a
+    point-sharded mesh; psum = lax.psum over the "pt" axis, varying marks
+    replicated carries as device-varying so scan carriers typecheck).
 
-    `stages` rounds of `iters` fixed LM steps; between rounds keypoint
-    observations with chi2 above their threshold are demoted to weight zero
-    and the Huber kernel is dropped (the reference's two-stage protocol,
-    globaloptimizer_g2o.cpp:418-461; marker edges stay quadratic and are
-    never demoted).
+    Sharded contract: point/observation arrays arrive as the LOCAL shard
+    with obs_pt / pt_obs already converted to local indices; every
+    observation of a point lives on that point's shard, so Hpp/bp/back-
+    substitution are communication-free and the ONLY collectives per LM
+    step are the psums of the reduced camera system + the acceptance cost.
+    Marker/planar edges are replicated and added after the psum.
+
+    Returns (cam_pose, mk_pose, pt_pos, costs, obs_chi2, obs_bad).
     """
     K = problem.cam_pose.shape[0]
     P = problem.pt_pos.shape[0]
@@ -294,6 +312,7 @@ def ba_solve(
         Jp = Jp * row_mask[:, :, None]
 
         # normal-equation blocks over V = K cameras + M markers vertices
+        # (keypoint observations touch camera vertices only)
         Hv = jnp.zeros((V, 6, 6)).at[problem.obs_cam].add(
             jnp.einsum("oij,oik,o->ojk", Jc, Jc, w)
         )
@@ -308,7 +327,7 @@ def ba_solve(
         )
         A = jnp.einsum("oij,oik,o->ojk", Jc, Jp, w)  # (O, 6, 3)
 
-        # damping
+        # damping (lam is replicated across shards: same damping everywhere)
         lamI3 = lam * jnp.eye(3)
         Hpp_d = Hpp + lamI3 * jnp.maximum(
             jnp.trace(Hpp, axis1=-2, axis2=-1)[:, None, None] / 3.0, 1.0
@@ -325,7 +344,7 @@ def ba_solve(
         cam_list = cam_pad[tbl]  # (P, MO) in [0, K) or V
         Y_list = jnp.einsum("pmij,pjk->pmik", A_list, Hpp_inv)  # (P, MO, 6, 3)
 
-        S = jnp.zeros((V + 1, V + 1, 6, 6))
+        S = varying(jnp.zeros((V + 1, V + 1, 6, 6)))
 
         def schur_row(S, a):
             Ya = Y_list[:, a]  # (P, 6, 3)
@@ -335,8 +354,19 @@ def ba_solve(
             return S, None
 
         S, _ = jax.lax.scan(schur_row, S, jnp.arange(MO))
+        S = S[:V, :V]
 
-        # --- marker corner edges: binary camera<->marker blocks --------
+        # rhs correction: -sum_o Y_o bp[pt(o)] (keypoint obs only)
+        Y = A @ Hpp_inv[problem.obs_pt]  # (O, 6, 3)
+        b_corr = jnp.zeros((V, 6)).at[problem.obs_cam].add(
+            -jnp.einsum("oij,oj->oi", Y, bp[problem.obs_pt])
+        )
+
+        # ---- the one collective per step: reduce the camera system ------
+        Hv, bv, S, b_corr = psum((Hv, bv, S, b_corr))
+
+        # --- marker corner edges: binary camera<->marker blocks ----------
+        # (replicated data — added once, after the keypoint reduction)
         if has_mk:
             rm, Jcm, Jmm, _ = _marker_residual_jac(problem, cam_pose, mk_pose, cam)
             wm = problem.mobs_valid.astype(jnp.float32) * problem.mobs_w
@@ -361,19 +391,13 @@ def ba_solve(
                 S = S.at[v1, v2].add(crossp)
                 S = S.at[v2, v1].add(crossp.transpose(0, 2, 1))
 
-        S = S[:V, :V]
         lamI6 = lam * jnp.eye(6)
         S = S.at[jnp.arange(V), jnp.arange(V)].add(
             Hv
             + lamI6
             * jnp.maximum(jnp.trace(Hv, axis1=-2, axis2=-1)[:, None, None] / 6.0, 1.0)
         )
-
-        # rhs: b_schur = bv - sum_o Y_o bp[pt(o)] (keypoint obs only)
-        Y = A @ Hpp_inv[problem.obs_pt]  # (O, 6, 3)
-        b_schur = bv.at[problem.obs_cam].add(
-            -jnp.einsum("oij,oj->oi", Y, bp[problem.obs_pt])
-        )
+        b_schur = bv + b_corr
 
         # fixed / invalid vertices: identity rows, zero rhs
         free = free_all
@@ -383,6 +407,8 @@ def ba_solve(
         )
         b_f = jnp.where(free[:, None], b_schur, 0.0)
 
+        # replicated dense solve — every shard solves the same 6V system
+        # redundantly (cheaper than a distributed solve at SLAM-scale V)
         S_full = Sf.transpose(0, 2, 1, 3).reshape(6 * V, 6 * V)
         delta_v = jnp.linalg.solve(
             S_full + 1e-8 * jnp.eye(6 * V), b_f.reshape(-1)
@@ -391,6 +417,7 @@ def ba_solve(
         delta_c = delta_v[:K]
 
         # back-substitute points: delta_p = Hpp^-1 (bp - sum_o A_o^T dc[cam_o])
+        # — communication-free: all of a point's obs live on its shard
         t_contrib = jnp.zeros((P, 3)).at[problem.obs_pt].add(
             jnp.einsum("oij,oi->oj", A, delta_c[problem.obs_cam])
         )
@@ -407,7 +434,9 @@ def ba_solve(
         else:
             new_mk = mk_pose
 
-        new_cost = _total_cost(problem, new_cam, new_mk, new_pt, cam, obs_active, robust)
+        new_cost = _total_cost(
+            problem, new_cam, new_mk, new_pt, cam, obs_active, robust, psum
+        )
         improved = new_cost < cost_prev
         cam_pose = jnp.where(improved, new_cam, cam_pose)
         mk_pose = jnp.where(improved, new_mk, mk_pose) if has_mk else mk_pose
@@ -416,14 +445,21 @@ def ba_solve(
         lam = jnp.where(improved, lam * 0.5, lam * 8.0).clip(1e-7, 1e6)
         return (cam_pose, mk_pose, pt_pos, lam, cost), cost
 
-    cam_pose, pt_pos = problem.cam_pose, problem.pt_pos
+    # NOTE (sharded typing): camera/marker poses, lam and cost stay
+    # provably replicated through the loop — every update derives from
+    # psum'd quantities — so they need no varying cast; only the local
+    # scatter target S does.
+    cam_pose = problem.cam_pose
+    pt_pos = problem.pt_pos
     mk_pose = problem.mk_pose if has_mk else jnp.zeros((0, 4, 4))
     active = problem.obs_valid
     all_costs = []
     for stage in range(stages):
         robust = stage == 0
         w_info = active.astype(jnp.float32) / problem.obs_sigma2.clip(1e-9)
-        cost0 = _total_cost(problem, cam_pose, mk_pose, pt_pos, cam, active, robust)
+        cost0 = _total_cost(
+            problem, cam_pose, mk_pose, pt_pos, cam, active, robust, psum
+        )
         (cam_pose, mk_pose, pt_pos, _, _), costs = jax.lax.scan(
             partial(lm_step_with, w_info, active, robust),
             (cam_pose, mk_pose, pt_pos, jnp.float32(1e-4), cost0),
@@ -432,6 +468,7 @@ def ba_solve(
         )
         all_costs.append(costs)
         if stage < stages - 1:
+            # outlier demotion: per-observation, shard-local (no collective)
             c2_s, q_s = _chi2_of(problem, cam_pose, pt_pos, cam)
             delta2_s = jnp.where(problem.obs_depth > 0, CHI2_3D, CHI2_2D)
             active = problem.obs_valid & (c2_s <= delta2_s) & (q_s[:, 2] > 0)
@@ -439,13 +476,34 @@ def ba_solve(
     c2, q = _chi2_of(problem, cam_pose, pt_pos, cam)
     delta2 = jnp.where(problem.obs_depth > 0, CHI2_3D, CHI2_2D)
     bad = problem.obs_valid & ((c2 > delta2) | (q[:, 2] <= 0))
+    return cam_pose, mk_pose, pt_pos, costs, c2, bad
+
+
+@partial(jax.jit, static_argnames=("iters", "stages"))
+def ba_solve(
+    problem: BAProblem,
+    cam: CameraParams,
+    iters: int = 20,
+    stages: int = 2,
+) -> BAResult:
+    """LM with point marginalization and (optional) free marker vertices.
+
+    `stages` rounds of `iters` fixed LM steps; between rounds keypoint
+    observations with chi2 above their threshold are demoted to weight zero
+    and the Huber kernel is dropped (the reference's two-stage protocol,
+    globaloptimizer_g2o.cpp:418-461; marker edges stay quadratic and are
+    never demoted).
+    """
+    cam_pose, mk_pose, pt_pos, costs, c2, bad = _staged_lm(
+        problem, cam, iters, stages
+    )
     return BAResult(
         cam_pose=cam_pose,
         pt_pos=pt_pos,
         obs_chi2=c2,
         obs_bad=bad,
         cost_history=costs,
-        mk_pose=mk_pose if has_mk else None,
+        mk_pose=mk_pose if problem.mk_pose is not None else None,
     )
 
 
@@ -755,24 +813,77 @@ def apply_ba_result(
     if remove_bad:
         bad = np.asarray(result.obs_bad)
         if bad.any():
-            obs_cam = np.asarray(problem.obs_cam)[bad]
-            obs_pt = np.asarray(problem.obs_pt)[bad]
-            # clear those observations: find the keypoint indices again
+            # batched clear: one boolean mask over the whole kf_ids arena
+            cams = np.asarray(kf_slots)[np.asarray(problem.obs_cam)[bad]]
+            pts = np.asarray(pt_slots)[np.asarray(problem.obs_pt)[bad]]
             kf_ids = np.asarray(world_map.state.kf_ids).copy()
-            for c, p in zip(obs_cam, obs_pt):
-                kf_slot = int(kf_slots[c])
-                pt_slot = int(pt_slots[p])
-                sel = np.nonzero(kf_ids[kf_slot] == pt_slot)[0]
-                kf_ids[kf_slot, sel] = -1
-                n_bad += len(sel)
+            clear = np.zeros_like(kf_ids, bool)
+            hits = kf_ids[cams] == pts[:, None]  # (B, n_kpt)
+            np.logical_or.at(clear, cams, hits)
+            n_bad = int(clear.sum())
+            kf_ids[clear] = -1
             world_map.state = world_map.state._replace(kf_ids=jnp.asarray(kf_ids))
     return n_bad
+
+
+# ----------------------------------------------------------------------
+# Distributed dispatch: the production BA entry points below run the
+# sharded Schur solver (parallel.sharded_ba — same _staged_lm core) when
+# a device mesh is available and the problem is big enough to benefit.
+# ----------------------------------------------------------------------
+
+#: below this many live points, sharding overhead beats the speedup
+DIST_BA_MIN_POINTS = 512
+
+_ba_mesh = "auto"  # "auto" | None (force single-device) | Mesh (force)
+
+
+def set_ba_mesh(mesh) -> None:
+    """Override distributed-BA dispatch: a Mesh forces the sharded solver,
+    None forces single-device, "auto" (default) shards over all local
+    devices when there is more than one and the problem is large."""
+    global _ba_mesh
+    _ba_mesh = mesh
+
+
+def _resolve_ba_mesh(n_points: int):
+    if _ba_mesh is None:
+        return None
+    if _ba_mesh != "auto":
+        return _ba_mesh
+    if len(jax.devices()) > 1 and n_points >= DIST_BA_MIN_POINTS:
+        from ucoslam_tpu.parallel.mesh import make_mesh
+
+        return make_mesh()
+    return None
+
+
+def _solve_dispatch(
+    problem: BAProblem, cam: CameraParams, n_iters: int, n_points: int,
+    stages: int = 2,
+) -> tuple[BAResult, BAProblem]:
+    """Solve on the mesh when available; returns (result, problem-as-solved)
+    — the sharded path reorders observations, so callers must pair the
+    result with the returned problem."""
+    mesh = _resolve_ba_mesh(n_points)
+    if mesh is not None and mesh.devices.size > 1:
+        from ucoslam_tpu.parallel.sharded_ba import (
+            shard_ba_problem, sharded_ba_solve,
+        )
+
+        sharded = shard_ba_problem(problem, mesh.devices.size)
+        result = sharded_ba_solve(sharded, cam, mesh, iters=n_iters, stages=stages)
+        return result, sharded
+    return ba_solve(problem, cam, iters=n_iters, stages=stages), problem
 
 
 def global_bundle_adjustment(
     world_map: Map, cam: CameraParams, n_iters: int = 50, fix_first: bool = True
 ) -> int:
-    """Full-map BA (counterpart UcoSlam::globalOptimization, ucoslam.cpp:47)."""
+    """Full-map BA (counterpart UcoSlam::globalOptimization, ucoslam.cpp:47).
+
+    Dispatches to the mesh-sharded Schur solver when multiple devices are
+    present (see set_ba_mesh)."""
     if world_map.n_keyframes < 2:
         return 0
     problem, kf_slots, pt_slots, mk_slots = build_ba_problem(
@@ -780,9 +891,9 @@ def global_bundle_adjustment(
     )
     if len(pt_slots) == 0:
         return 0
-    result = ba_solve(problem, cam, iters=n_iters)
+    result, solved = _solve_dispatch(problem, cam, n_iters, len(pt_slots))
     return apply_ba_result(
-        world_map, result, kf_slots, pt_slots, problem, mk_slots=mk_slots
+        world_map, result, kf_slots, pt_slots, solved, mk_slots=mk_slots
     )
 
 
@@ -812,7 +923,7 @@ def local_bundle_adjustment(
     )
     if len(pt_slots) == 0:
         return 0
-    result = ba_solve(problem, cam, iters=n_iters)
+    result, solved = _solve_dispatch(problem, cam, n_iters, len(pt_slots))
     return apply_ba_result(
-        world_map, result, kf_slots, pt_slots, problem, mk_slots=mk_slots
+        world_map, result, kf_slots, pt_slots, solved, mk_slots=mk_slots
     )
