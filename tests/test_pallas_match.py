@@ -55,10 +55,78 @@ def test_matches_reference():
 
 
 def test_all_masked_rows():
-    args = list(make_problem(P=256, N=128))
+    args = list(make_problem(P=256, N=256))
     args[3] = np.zeros(256, bool)  # no valid points
     idx, best, second = project_match_pallas(
         *[jnp.asarray(a) for a in args], interpret=True
     )
     assert (np.asarray(best) == INVALID_DIST).all()
     assert (np.asarray(idx) == -1).all()
+
+
+def test_multi_tile_merge():
+    """Best/second/argbest must merge correctly across column tiles."""
+    args = make_problem(P=256, N=512)
+    ref_idx, ref_best, ref_second = reference(*args)
+    idx, best, second = project_match_pallas(
+        *[jnp.asarray(a) for a in args], interpret=True
+    )
+    np.testing.assert_array_equal(np.asarray(best), np.asarray(ref_best))
+    np.testing.assert_array_equal(np.asarray(second), np.asarray(ref_second))
+    has = np.asarray(best) < INVALID_DIST
+    np.testing.assert_array_equal(np.asarray(idx)[has], np.asarray(ref_idx)[has])
+
+
+def test_production_matcher_backend_equivalence():
+    """match_points_to_frame output is identical on the pallas and xla
+    backends (pallas in interpret mode off-TPU)."""
+    import jax
+    from ucoslam_tpu.geometry.camera import CameraParams
+    from ucoslam_tpu.mapping.frame import empty_frame
+    from ucoslam_tpu.matching import projection
+
+    rng = np.random.default_rng(5)
+    L, N = 512, 256
+    cam = CameraParams.create(500.0, 500.0, 320.0, 240.0)
+    X = rng.uniform(-3, 3, (L, 3)).astype(np.float32)
+    X[:, 2] = rng.uniform(2, 20, L)
+    dist = np.linalg.norm(X, axis=1)
+    pt_desc = rng.integers(0, 2**32, (L, 8), dtype=np.uint32)
+    frame_desc = rng.integers(0, 2**32, (N, 8), dtype=np.uint32)
+    xy = rng.uniform(0, 640, (N, 2)).astype(np.float32)
+    sel = rng.choice(L, 100, replace=False)
+    ksel = rng.choice(N, 100, replace=False)
+    frame_desc[ksel] = pt_desc[sel]
+    uv = np.asarray(cam.project(jnp.asarray(X)))
+    xy[ksel] = uv[sel] + rng.normal(0, 2, (100, 2))
+    frame = empty_frame(N)._replace(
+        und_xy=jnp.asarray(xy),
+        desc=jnp.asarray(frame_desc),
+        octave=jnp.asarray(rng.integers(0, 8, N, dtype=np.int32)),
+        valid=jnp.asarray(rng.random(N) < 0.95),
+    )
+    kw = dict(
+        pt_pos=jnp.asarray(X),
+        pt_desc=jnp.asarray(pt_desc),
+        pt_normal=jnp.asarray((X / dist[:, None]).astype(np.float32)),
+        pt_min_dist=jnp.asarray((dist / 1.2**7).astype(np.float32)),
+        pt_max_dist=jnp.asarray((dist * 1.3).astype(np.float32)),
+        pt_valid=jnp.asarray(rng.random(L) < 0.9),
+        frame=frame,
+        cam=cam,
+        pose_f2g=jnp.eye(4),
+        proj_dist_thr=jnp.float32(15.0),
+        max_desc_dist=jnp.float32(60.0),
+        scale_factor=jnp.float32(1.2),
+    )
+    try:
+        projection.set_match_backend("xla")
+        r_x = jax.tree.map(np.asarray, projection.match_points_to_frame(**kw))
+        projection.set_match_backend("pallas")
+        r_p = jax.tree.map(np.asarray, projection.match_points_to_frame(**kw))
+    finally:
+        projection.set_match_backend("auto")
+    assert int(r_x.n_matched) > 10
+    np.testing.assert_array_equal(r_x.kpt_idx, r_p.kpt_idx)
+    np.testing.assert_array_equal(r_x.point_valid, r_p.point_valid)
+    assert int(r_x.n_visible) == int(r_p.n_visible)

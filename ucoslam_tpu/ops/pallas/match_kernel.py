@@ -2,13 +2,18 @@
 
 The XLA path of match_points_to_frame materializes the (P, N) distance and
 gate matrices in HBM (a 16k x 2k track step writes >130 MB per frame). This
-kernel fuses the whole reduction: for each map-point row it streams the
-frame's keypoint columns through VMEM in 128-wide tiles, computes Hamming
-distance from the packed uint32 descriptors, applies the radius / octave /
-validity gates in-register, and maintains (best, second, argbest) scratch —
-nothing but the three (P,) outputs ever leaves the chip.
+kernel fuses the whole reduction: a 2-D grid of (point-tile, keypoint-tile)
+programs computes each (BP, BN) distance tile on the MXU from ±1-unpacked
+descriptors (popcount(a XOR b) = (256 - <a, b>)/2 for a, b in {-1,+1}^256),
+applies the radius / octave / validity gates in-register on the VPU, and
+folds a running (best, second, argbest) into the output block — which stays
+resident in VMEM across the keypoint-tile sweep because its index map is
+constant along that grid axis. Nothing but the three (P, 1) outputs and the
+(P+N) x 256 bit planes ever touch HBM.
 
-Grid: (P / BP,) programs; each iterates the N columns with a fori_loop.
+Everything is rank-2: the previous version's 3-D xor/popcount broadcast and
+in-kernel fori_loop gather did not lower through Mosaic on real TPUs (it was
+interpret-only); this formulation compiles and runs on the chip.
 """
 
 from __future__ import annotations
@@ -20,74 +25,75 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ucoslam_tpu.ops.hamming import INVALID_DIST
+from ucoslam_tpu.ops.hamming import DESC_BITS, INVALID_DIST, unpack_descriptor_bits
 
 BP = 256  # point rows per program
-BN = 128  # keypoint columns per inner step
+BN = 256  # minimum keypoint-column tile (the call picks the largest fit)
+
+
+def _pick_bn(n: int) -> int:
+    """Widest column tile that divides n — wider tiles stream the keypoint
+    bit-planes fewer times per point tile ((BP,BN) f32 tile + (256,BN) bf16
+    bits stay well under VMEM even at 2048)."""
+    for bn in (2048, 1024, 512, 256):
+        if n % bn == 0:
+            return bn
+    raise ValueError(f"N={n} not a multiple of {BN}")
 
 
 def _match_kernel(
-    desc_a_ref,  # (BP, 8) uint32
-    uv_a_ref,  # (BP, 2) float32 projected positions
-    oct_a_ref,  # (BP, 1) int32 predicted octave
-    valid_a_ref,  # (BP, 1) int32
-    desc_b_ref,  # (N, 8) uint32 (whole frame resident in VMEM)
-    uv_b_ref,  # (N, 2)
-    oct_b_ref,  # (N, 1)
-    valid_b_ref,  # (N, 1)
-    radius2_ref,  # (N, 1) float32 squared search radius per keypoint
-    best_ref,  # (BP, 1) int32 out
-    second_ref,  # (BP, 1) int32 out
-    idx_ref,  # (BP, 1) int32 out
+    bits_a_ref,  # (BP, 256) bf16 ±1 point descriptor bits
+    meta_a_ref,  # (BP, 8) f32 rows: [u, v, octave, valid, 0...]
+    bits_bT_ref,  # (256, BN) bf16 ±1 keypoint bits, transposed
+    meta_bT_ref,  # (8, BN) f32 rows: [u, v, octave, valid, radius2, 0...]
+    best_ref,  # (BP, 1) i32 out (accumulated over keypoint tiles)
+    second_ref,  # (BP, 1) i32 out
+    idx_ref,  # (BP, 1) i32 out
 ):
-    n = desc_b_ref.shape[0]
-    n_steps = n // BN
-
-    desc_a = desc_a_ref[:]  # (BP, 8)
-    uv_a = uv_a_ref[:]
-    oct_a = oct_a_ref[:]  # (BP, 1)
-    valid_a = valid_a_ref[:] > 0
-
-    def step(j, carry):
-        best, second, bidx = carry
-        sl = pl.ds(j * BN, BN)
-        db = desc_b_ref[sl, :]  # (BN, 8)
-        # Hamming: sum of popcounts over the 8 words
-        x = jnp.bitwise_xor(desc_a[:, None, :], db[None, :, :])  # (BP, BN, 8)
-        d = jnp.sum(
-            jax.lax.population_count(x).astype(jnp.int32), axis=-1
-        )  # (BP, BN)
-        # gates
-        uv_b = uv_b_ref[sl, :]
-        du = uv_a[:, 0:1] - uv_b[None, :, 0]  # (BP, BN)
-        dv = uv_a[:, 1:2] - uv_b[None, :, 1]
-        r2 = du * du + dv * dv
-        in_r = r2 < radius2_ref[sl, 0][None, :]
-        oct_ok = jnp.abs(oct_a - oct_b_ref[sl, 0][None, :]) <= 1
-        ok = in_r & oct_ok & valid_a & (valid_b_ref[sl, 0][None, :] > 0)
-        d = jnp.where(ok, d, INVALID_DIST)
-        # tile best + second
-        t1 = jnp.min(d, axis=1, keepdims=True)  # (BP, 1)
-        cols = jax.lax.broadcasted_iota(jnp.int32, d.shape, 1)
-        is_min = d == t1
-        t1_idx = jnp.min(jnp.where(is_min, cols, n), axis=1, keepdims=True) + j * BN
-        d2 = jnp.where(is_min & (cols == (t1_idx - j * BN)), INVALID_DIST, d)
-        t2 = jnp.min(d2, axis=1, keepdims=True)
-        # merge with running best/second
-        new_best = jnp.minimum(best, t1)
-        new_second = jnp.minimum(jnp.maximum(best, t1), jnp.minimum(second, t2))
-        new_idx = jnp.where(t1 < best, t1_idx, bidx)
-        return new_best, new_second, new_idx
-
-    init = (
-        jnp.full((BP, 1), INVALID_DIST, jnp.int32),
-        jnp.full((BP, 1), INVALID_DIST, jnp.int32),
-        jnp.full((BP, 1), -1, jnp.int32),
+    j = pl.program_id(1)
+    bn = bits_bT_ref.shape[1]
+    dot = jnp.dot(
+        bits_a_ref[:], bits_bT_ref[:], preferred_element_type=jnp.float32
+    )  # (BP, BN), exact: ±1 dot in [-256, 256]
+    d = (DESC_BITS - dot) * 0.5
+    du = meta_a_ref[:, 0:1] - meta_bT_ref[0:1, :]
+    dv = meta_a_ref[:, 1:2] - meta_bT_ref[1:2, :]
+    r2 = du * du + dv * dv
+    ok = (
+        (r2 < meta_bT_ref[4:5, :])
+        & (jnp.abs(meta_a_ref[:, 2:3] - meta_bT_ref[2:3, :]) <= 1.0)
+        & (meta_a_ref[:, 3:4] > 0.0)
+        & (meta_bT_ref[3:4, :] > 0.0)
     )
-    best, second, bidx = jax.lax.fori_loop(0, n_steps, step, init)
-    best_ref[:] = best
-    second_ref[:] = second
-    idx_ref[:] = bidx
+    d = jnp.where(ok, d, float(INVALID_DIST))
+
+    # tile best + second (second = runner-up at a different column)
+    t1 = jnp.min(d, axis=1, keepdims=True)
+    cols = jax.lax.broadcasted_iota(jnp.int32, d.shape, 1)
+    t1_col = jnp.min(jnp.where(d == t1, cols, d.shape[1]), axis=1, keepdims=True)
+    t2 = jnp.min(
+        jnp.where(cols == t1_col, float(INVALID_DIST), d), axis=1, keepdims=True
+    )
+    t1_i = t1.astype(jnp.int32)
+    t2_i = t2.astype(jnp.int32)
+    t1_idx = t1_col + j * bn
+
+    @pl.when(j == 0)
+    def _():
+        best_ref[:] = t1_i
+        second_ref[:] = t2_i
+        idx_ref[:] = jnp.where(t1_i < INVALID_DIST, t1_idx, -1)
+
+    @pl.when(j > 0)
+    def _():
+        best = best_ref[:]
+        second = second_ref[:]
+        bidx = idx_ref[:]
+        best_ref[:] = jnp.minimum(best, t1_i)
+        second_ref[:] = jnp.minimum(
+            jnp.maximum(best, t1_i), jnp.minimum(second, t2_i)
+        )
+        idx_ref[:] = jnp.where(t1_i < best, t1_idx, bidx)
 
 
 @partial(jax.jit, static_argnames=("interpret",))
@@ -105,49 +111,55 @@ def project_match_pallas(
 ):
     """-> (best_idx (P,), best (P,), second (P,)) with INVALID_DIST padding.
 
-    P must be a multiple of BP and N a multiple of BN (pad + mask upstream).
+    best_idx is -1 for rows with no gated candidate. P must be a multiple
+    of BP and N a multiple of BN (pad + mask upstream).
     """
     P = desc_a.shape[0]
     N = desc_b.shape[0]
     assert P % BP == 0 and N % BN == 0, (P, N)
-    grid = (P // BP,)
+    bn = _pick_bn(N)
 
-    def row_spec(width, dtype=None):
-        return pl.BlockSpec((BP, width), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    bits_a = unpack_descriptor_bits(desc_a)  # (P, 256) bf16
+    bits_bT = unpack_descriptor_bits(desc_b).T  # (256, N)
+    meta_a = jnp.stack(
+        [
+            uv_a[:, 0],
+            uv_a[:, 1],
+            oct_a.astype(jnp.float32),
+            valid_a.astype(jnp.float32),
+        ]
+        + [jnp.zeros((P,), jnp.float32)] * 4,
+        axis=1,
+    )  # (P, 8)
+    meta_bT = jnp.stack(
+        [
+            uv_b[:, 0],
+            uv_b[:, 1],
+            oct_b.astype(jnp.float32),
+            valid_b.astype(jnp.float32),
+            radius2.astype(jnp.float32),
+        ]
+        + [jnp.zeros((N,), jnp.float32)] * 3,
+        axis=0,
+    )  # (8, N)
 
-    def col_spec(width):
-        return pl.BlockSpec((N, width), lambda i: (0, 0), memory_space=pltpu.VMEM)
-
+    grid = (P // BP, N // bn)
+    out_spec = pl.BlockSpec((BP, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM)
     best, second, idx = pl.pallas_call(
         _match_kernel,
         grid=grid,
         in_specs=[
-            row_spec(8),
-            row_spec(2),
-            row_spec(1),
-            row_spec(1),
-            col_spec(8),
-            col_spec(2),
-            col_spec(1),
-            col_spec(1),
-            col_spec(1),
+            pl.BlockSpec((BP, DESC_BITS), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((BP, 8), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((DESC_BITS, bn), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, bn), lambda i, j: (0, j), memory_space=pltpu.VMEM),
         ],
-        out_specs=[row_spec(1), row_spec(1), row_spec(1)],
+        out_specs=[out_spec, out_spec, out_spec],
         out_shape=[
             jax.ShapeDtypeStruct((P, 1), jnp.int32),
             jax.ShapeDtypeStruct((P, 1), jnp.int32),
             jax.ShapeDtypeStruct((P, 1), jnp.int32),
         ],
         interpret=interpret,
-    )(
-        desc_a,
-        uv_a,
-        oct_a.astype(jnp.int32)[:, None],
-        valid_a.astype(jnp.int32)[:, None],
-        desc_b,
-        uv_b,
-        oct_b.astype(jnp.int32)[:, None],
-        valid_b.astype(jnp.int32)[:, None],
-        radius2[:, None].astype(jnp.float32),
-    )
+    )(bits_a, meta_a, bits_bT, meta_bT)
     return idx[:, 0], best[:, 0], second[:, 0]
