@@ -268,13 +268,11 @@ def _staged_lm(
     iters: int,
     stages: int,
     psum=_identity,
-    varying=_identity,
 ):
     """Staged adaptive-LM Schur solve — the single implementation behind
-    both `ba_solve` (single device; psum/varying = identity) and
+    both `ba_solve` (single device; psum = identity) and
     `parallel.sharded_ba.sharded_ba_solve` (runs inside shard_map over a
-    point-sharded mesh; psum = lax.psum over the "pt" axis, varying marks
-    replicated carries as device-varying so scan carriers typecheck).
+    point-sharded mesh; psum = lax.psum over the "pt" axis).
 
     Sharded contract: point/observation arrays arrive as the LOCAL shard
     with obs_pt / pt_obs already converted to local indices; every
@@ -311,21 +309,31 @@ def _staged_lm(
         Jc = Jc * row_mask[:, :, None]
         Jp = Jp * row_mask[:, :, None]
 
-        # normal-equation blocks over V = K cameras + M markers vertices
-        # (keypoint observations touch camera vertices only)
-        Hv = jnp.zeros((V, 6, 6)).at[problem.obs_cam].add(
-            jnp.einsum("oij,oik,o->ojk", Jc, Jc, w)
-        )
-        bv = jnp.zeros((V, 6)).at[problem.obs_cam].add(
-            jnp.einsum("oij,oi,o->oj", Jc, r, w)
-        )
-        Hpp = jnp.zeros((P, 3, 3)).at[problem.obs_pt].add(
-            jnp.einsum("oij,oik,o->ojk", Jp, Jp, w)
-        )
-        bp = jnp.zeros((P, 3)).at[problem.obs_pt].add(
-            jnp.einsum("oij,oi,o->oj", Jp, r, w)
-        )
+        # --- scatter-free normal equations -----------------------------
+        # TPU scatter-adds over 10^5 duplicate indices serialize; every
+        # reduction below is either a per-point GATHER through the pt_obs
+        # table or a one-hot camera-incidence MATMUL on the MXU.
         A = jnp.einsum("oij,oik,o->ojk", Jc, Jp, w)  # (O, 6, 3)
+        tbl = jnp.where(problem.pt_obs >= 0, problem.pt_obs, O)  # (P, MO)
+        w_pad = jnp.concatenate([w, jnp.zeros((1,))])
+        Jp_pad = jnp.concatenate([Jp, jnp.zeros((1, 3, 3))], 0)
+        r_pad = jnp.concatenate([r, jnp.zeros((1, 3))], 0)
+        A_pad = jnp.concatenate([A, jnp.zeros((1, 6, 3))], 0)
+        cam_pad = jnp.concatenate([problem.obs_cam, jnp.array([V], jnp.int32)])
+        wL = w_pad[tbl]  # (P, MO)
+        JpL = Jp_pad[tbl]  # (P, MO, 3, 3)
+        rL = r_pad[tbl]  # (P, MO, 3)
+        A_list = A_pad[tbl]  # (P, MO, 6, 3)
+        cam_list = cam_pad[tbl]  # (P, MO) in [0, K) or V (pad)
+        Hpp = jnp.einsum("pmij,pmik,pm->pjk", JpL, JpL, wL)
+        bp = jnp.einsum("pmij,pmi,pm->pj", JpL, rL, wL)
+
+        # camera blocks: (V, O) one-hot x (O, 36/6) matmuls
+        Eo = jax.nn.one_hot(problem.obs_cam, V, dtype=jnp.float32)  # (O, V)
+        Hv = (
+            Eo.T @ jnp.einsum("oij,oik,o->ojk", Jc, Jc, w).reshape(O, 36)
+        ).reshape(V, 6, 6)
+        bv = Eo.T @ jnp.einsum("oij,oi,o->oj", Jc, r, w)
 
         # damping (lam is replicated across shards: same damping everywhere)
         lamI3 = lam * jnp.eye(3)
@@ -335,32 +343,22 @@ def _staged_lm(
         Hpp_inv = _inv3x3(Hpp_d)
         Hpp_inv = jnp.where(problem.pt_valid[:, None, None], Hpp_inv, 0.0)
 
-        # --- Schur assembly over the per-point obs table ---------------
-        # pad A/cam with a zero row for -1 entries; pad vertex index = V
-        A_pad = jnp.concatenate([A, jnp.zeros((1, 6, 3))], 0)
-        cam_pad = jnp.concatenate([problem.obs_cam, jnp.array([V], jnp.int32)])
-        tbl = jnp.where(problem.pt_obs >= 0, problem.pt_obs, O)  # (P, MO)
-        A_list = A_pad[tbl]  # (P, MO, 6, 3)
-        cam_list = cam_pad[tbl]  # (P, MO) in [0, K) or V
+        # --- Schur complement as ONE big MXU matmul ---------------------
+        # S[(c,i),(d,k)] = -sum_{p,j} GY[(c,i),(p,j)] GA[(d,k),(p,j)] with
+        # GY/GA the camera-incidence-contracted per-point Y/A tables. The
+        # (6V, 3P) factors replace the former MO-step scatter scan.
         Y_list = jnp.einsum("pmij,pjk->pmik", A_list, Hpp_inv)  # (P, MO, 6, 3)
-
-        S = varying(jnp.zeros((V + 1, V + 1, 6, 6)))
-
-        def schur_row(S, a):
-            Ya = Y_list[:, a]  # (P, 6, 3)
-            ca = cam_list[:, a]  # (P,)
-            contrib = jnp.einsum("pij,pmkj->pmik", Ya, A_list)  # (P, MO, 6, 6)
-            S = S.at[ca[:, None], cam_list].add(-contrib)
-            return S, None
-
-        S, _ = jax.lax.scan(schur_row, S, jnp.arange(MO))
-        S = S[:V, :V]
+        U = jax.nn.one_hot(cam_list, V + 1, dtype=jnp.float32)[..., :V]
+        GY = jnp.einsum("pmc,pmij->cipj", U, Y_list).reshape(V * 6, P * 3)
+        GA = jnp.einsum("pmc,pmij->cipj", U, A_list).reshape(V * 6, P * 3)
+        # S derives from the local point shard, so it is already
+        # device-varying in sharded mode — no pcast needed (unlike the
+        # old zeros-init scatter formulation)
+        S = -(GY @ GA.T).reshape(V, 6, V, 6).transpose(0, 2, 1, 3)
 
         # rhs correction: -sum_o Y_o bp[pt(o)] (keypoint obs only)
         Y = A @ Hpp_inv[problem.obs_pt]  # (O, 6, 3)
-        b_corr = jnp.zeros((V, 6)).at[problem.obs_cam].add(
-            -jnp.einsum("oij,oj->oi", Y, bp[problem.obs_pt])
-        )
+        b_corr = -(Eo.T @ jnp.einsum("oij,oj->oi", Y, bp[problem.obs_pt]))
 
         # ---- the one collective per step: reduce the camera system ------
         Hv, bv, S, b_corr = psum((Hv, bv, S, b_corr))
@@ -417,10 +415,11 @@ def _staged_lm(
         delta_c = delta_v[:K]
 
         # back-substitute points: delta_p = Hpp^-1 (bp - sum_o A_o^T dc[cam_o])
-        # — communication-free: all of a point's obs live on its shard
-        t_contrib = jnp.zeros((P, 3)).at[problem.obs_pt].add(
-            jnp.einsum("oij,oi->oj", A, delta_c[problem.obs_cam])
-        )
+        # — gather-based via the pt_obs table; communication-free (all of a
+        # point's obs live on its shard)
+        dv_pad = jnp.concatenate([delta_v, jnp.zeros((1, 6))], 0)
+        dcL = dv_pad[cam_list]  # (P, MO, 6); pad rows hit the zero row
+        t_contrib = jnp.einsum("pmij,pmi->pj", A_list, dcL)
         delta_p = jnp.einsum("pij,pj->pi", Hpp_inv, bp - t_contrib)
         delta_p = jnp.where(problem.pt_valid[:, None], delta_p, 0.0)
 
@@ -447,8 +446,7 @@ def _staged_lm(
 
     # NOTE (sharded typing): camera/marker poses, lam and cost stay
     # provably replicated through the loop — every update derives from
-    # psum'd quantities — so they need no varying cast; only the local
-    # scatter target S does.
+    # psum'd quantities — so they need no varying cast.
     cam_pose = problem.cam_pose
     pt_pos = problem.pt_pos
     mk_pose = problem.mk_pose if has_mk else jnp.zeros((0, 4, 4))
@@ -564,7 +562,7 @@ def build_ba_problem(
     pt_slots = np.asarray(
         [p for p in uniq if pt_count[p] >= min_obs or p in stereo_pts], np.int32
     )
-    pt_index = np.full(world_map.params.maxMapPoints, -1, np.int32)
+    pt_index = np.full(world_map.state.P, -1, np.int32)
     pt_index[pt_slots] = np.arange(len(pt_slots))
 
     keep = pt_index[obs_pt_slot] >= 0

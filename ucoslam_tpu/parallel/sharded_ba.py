@@ -177,7 +177,6 @@ def sharded_ba_solve(
         return _staged_lm(
             local, cam, iters, stages,
             psum=lambda x: jax.lax.psum(x, axis),
-            varying=lambda x: jax.lax.pcast(x, (axis,), to="varying"),
         )
 
     cam_pose, mk_pose, pt_pos, costs, c2, bad = jax.jit(run)(prob)
