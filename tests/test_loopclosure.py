@@ -17,6 +17,10 @@ PARAMS = Params().replace(
     maxKeyPointsPerFrame=512,
     maxDescDistance=60.0,
     detectMarkers=False,
+    # fast outward exploration: confidence vs the reference KF drops
+    # quickly between keyframes, so lower the candidate-quality floor
+    # (the same knob the reference's dataset presets tune, e.g. KITTI)
+    KFMinConfidence=0.4,
 )
 
 
@@ -48,6 +52,43 @@ class TestKFDataBase:
             exclude={0},
         )
         assert 0 not in c and 1 in c
+
+    def test_dummy_database_returns_nothing(self):
+        """DummyDataBase path (keyframedatabase.cpp:98): no vocabulary ->
+        add is a no-op and no candidates are returned."""
+        db = KeyFrameDataBase(4, dummy=True)
+        d = RNG.integers(0, 2**32, (32, 8), dtype=np.uint32)
+        db.add(0, jnp.asarray(d), jnp.ones(32, bool))
+        assert float(np.asarray(db.vectors).sum()) == 0.0
+        c = db.relocalization_candidates(
+            jnp.asarray(d), jnp.ones(32, bool), np.asarray([True] * 4)
+        )
+        assert c == []
+
+    def test_covis_grouping_collapses_neighbours(self):
+        """Two near-identical covisible keyframes must yield ONE candidate
+        (the group's best), leaving room for a distinct place
+        (keyframedatabase.cpp:250-304 grouping)."""
+        db = KeyFrameDataBase(8)
+        d = RNG.integers(0, 2**32, (64, 8), dtype=np.uint32)
+        noisy = d.copy()
+        for j in range(64):
+            noisy[j, RNG.integers(0, 8)] ^= np.uint32(1) << np.uint32(
+                RNG.integers(0, 32)
+            )
+        other = RNG.integers(0, 2**32, (64, 8), dtype=np.uint32)
+        db.add(0, jnp.asarray(d), jnp.ones(64, bool))
+        db.add(1, jnp.asarray(noisy), jnp.ones(64, bool))
+        db.add(2, jnp.asarray(other), jnp.ones(64, bool))
+        covis = np.zeros((8, 8))
+        covis[0, 1] = covis[1, 0] = 50  # kf0 and kf1 are covisible
+        active = np.asarray([True] * 3 + [False] * 5)
+        c = db.relocalization_candidates(
+            jnp.asarray(d), jnp.ones(64, bool), active, covis=covis
+        )
+        # both members of the (0,1) group must not appear
+        assert not (0 in c and 1 in c), c
+        assert 0 in c or 1 in c
 
 
 class TestOrbitE2E:

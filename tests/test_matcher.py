@@ -93,3 +93,33 @@ def test_epipolar_gate():
         f1, f2b, F12, jnp.ones(n), jnp.float32(50.0), only_unassigned=False
     )
     assert int(m2.n_matches) < int(m.n_matches) / 2
+
+
+def test_match_frames_bow_word_alignment():
+    """FrameMatcher_BoW counterpart: only same-word pairs may match, exact
+    duplicates always share a word, and the matcher recovers the planted
+    correspondences."""
+    from ucoslam_tpu.mapping.kfdatabase import make_vocabulary, quantize_words
+    from ucoslam_tpu.matching.matcher import match_frames_bow
+
+    n = 128
+    vocab = make_vocabulary(256)
+    desc = RNG.integers(0, 2**32, (n, 8), dtype=np.uint32)
+    f1 = empty_frame(n)._replace(desc=jnp.asarray(desc), valid=jnp.ones(n, bool))
+    perm = RNG.permutation(n)
+    f2 = empty_frame(n)._replace(
+        desc=jnp.asarray(desc[perm]), valid=jnp.ones(n, bool)
+    )
+    m = match_frames_bow(
+        f1, f2, vocab, jnp.float32(50.0), check_rotation=False
+    )
+    v = np.asarray(m.valid)
+    idx = np.asarray(m.train_idx)
+    # exact duplicates share their word; expect near-total recovery
+    assert v.sum() >= 0.95 * n, v.sum()
+    inv = np.argsort(perm)
+    assert (idx[v] == inv[np.arange(n)][v]).all()
+    # and every accepted pair shares a vocabulary word by construction
+    w1 = np.asarray(quantize_words(f1.desc, vocab))
+    w2 = np.asarray(quantize_words(f2.desc, vocab))
+    assert (w1[v] == w2[idx[v]]).all()

@@ -106,6 +106,64 @@ class TestRecovery:
                 tracked_after += 1
         assert tracked_after >= 0.8 * (seq.n_frames - 24), f"only {tracked_after}"
 
+    def test_reloc_uses_bow_candidates_not_brute_force(self, monkeypatch):
+        """With a keyframe database present, relocalization goes through
+        BoW candidate retrieval + per-candidate matching — whose cost is
+        O(candidates x N_frame^2), independent of the map-point arena size
+        (keyframedatabase.cpp:195-304 + system.cpp:4923-5292). The brute
+        force over ALL map points must not run."""
+        from ucoslam_tpu.slam import tracker as tracker_mod
+
+        def _boom(*a, **k):
+            raise AssertionError("brute-force reloc ran despite BoW database")
+
+        monkeypatch.setattr(tracker_mod, "_reloc_match", _boom)
+        seq = SyntheticSequence(n_frames=30, seed=7)
+        sys_ = System(PARAMS, seq.cam)
+        relocalized = 0
+        for i in range(seq.n_frames):
+            if i in (15, 16):
+                sys_.reset_tracker()
+                continue
+            pose = sys_.process_frame(seq.frame(i))
+            if i > 16 and pose is not None:
+                relocalized += 1
+        assert relocalized >= 0.8 * (seq.n_frames - 17), f"only {relocalized}"
+
+    def test_reloc_brute_force_fallback_without_vocab(self):
+        """DummyDataBase (no vocabulary): reloc falls back to brute-force
+        matching against the whole arena (keyframedatabase.cpp:98)."""
+        seq = SyntheticSequence(n_frames=30, seed=7)
+        sys_ = System(PARAMS, seq.cam)
+        sys_.manager.kfdb.dummy = True
+        relocalized = 0
+        for i in range(seq.n_frames):
+            if i in (15, 16):
+                sys_.reset_tracker()
+                continue
+            pose = sys_.process_frame(seq.frame(i))
+            if i > 16 and pose is not None:
+                relocalized += 1
+        assert relocalized >= 0.8 * (seq.n_frames - 17), f"only {relocalized}"
+
+
+class TestArenaGrowth:
+    def test_long_run_grows_past_caps(self):
+        """Tiny initial arenas must not starve a long sequence: the
+        MapManager doubles the point/keyframe arenas when full (SURVEY §5
+        map-size scaling; round-1 VERDICT missing #6) and tracking keeps
+        bounded ATE throughout."""
+        params = PARAMS.replace(maxKeyFrames=8, maxMapPoints=1024)
+        seq = SyntheticSequence(n_frames=80, seed=13, trajectory="line",
+                                motion_scale=2.0)
+        sys_, poses = run_sequence(seq, params=params)
+        assert sys_.map.state.K > 8, "keyframe arena never grew"
+        assert len(poses) >= 0.85 * (seq.n_frames - 2), f"tracked {len(poses)}"
+        idx, est = centers_of(poses)
+        ate = ate_rmse(est, seq.gt_positions()[idx], with_scale=True)
+        assert ate < 0.08, f"growth-run ATE {ate}"
+        sys_.map.check_consistency()
+
 
 class TestAsyncMapping:
     """Non-sequential dispatch: mapping worker thread + tracker snapshots

@@ -28,6 +28,12 @@ def main(argv=None) -> int:
     ap.add_argument("--synthetic", type=int, default=0)
     ap.add_argument("--camera")
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument(
+        "--bruteforce",
+        action="store_true",
+        help="disable the BoW keyframe database (DummyDataBase path): "
+        "relocalize by brute-force matching against the whole point arena",
+    )
     args = ap.parse_args(argv)
 
     if args.synthetic:
@@ -51,6 +57,8 @@ def main(argv=None) -> int:
     slam = UcoSlam()
     slam.readFromFile(args.map, cam)
     slam.setMode(Mode.LOCALIZATION)
+    if args.bruteforce:
+        slam._system.manager.kfdb.dummy = True
 
     ok, errs = 0, []
     for i in range(n):

@@ -30,19 +30,13 @@ def make_vocabulary(size: int = VOCAB_SIZE, seed: int = 1234) -> jnp.ndarray:
 
 
 @jax.jit
-def bow_vector(
-    desc: jnp.ndarray,
-    valid: jnp.ndarray,
-    vocab: jnp.ndarray,
-    weights: jnp.ndarray | None = None,
-) -> jnp.ndarray:
-    """Descriptor set -> L2-normalized word histogram (V,).
+def quantize_words(desc: jnp.ndarray, vocab: jnp.ndarray) -> jnp.ndarray:
+    """(N, 8) descriptors -> (N,) nearest vocabulary word ids.
 
-    Counterpart of fbow::Vocabulary::transform (fbow.h:91): one Hamming
-    argmin per descriptor against the flat vocabulary, accumulating the
-    word's weight (fbow adds the leaf weight per hit, fbow.h:390). Large
-    vocabularies quantize in chunks so the (N, V) distance matrix never
-    materializes whole.
+    The fbow transform's second output fBow2 maps words to the feature
+    indices quantized to them (fbow.h:91-93); here the per-descriptor word
+    id IS that association — word-aligned matching masks pairs by word
+    equality instead of walking per-word lists.
     """
     from ucoslam_tpu.ops.hamming import hamming_matrix
 
@@ -82,6 +76,26 @@ def bow_vector(
             vpad,
         )
         word = jnp.minimum(word, V - 1)  # padded rows can't win (dist huge)
+    return word
+
+
+@jax.jit
+def bow_vector(
+    desc: jnp.ndarray,
+    valid: jnp.ndarray,
+    vocab: jnp.ndarray,
+    weights: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """Descriptor set -> L2-normalized word histogram (V,).
+
+    Counterpart of fbow::Vocabulary::transform (fbow.h:91): one Hamming
+    argmin per descriptor against the flat vocabulary, accumulating the
+    word's weight (fbow adds the leaf weight per hit, fbow.h:390). Large
+    vocabularies quantize in chunks so the (N, V) distance matrix never
+    materializes whole.
+    """
+    V = vocab.shape[0]
+    word = quantize_words(desc, vocab)
     w = jnp.ones((V,), jnp.float32) if weights is None else weights
     hist = jnp.zeros((V,), jnp.float32).at[word].add(
         valid.astype(jnp.float32) * w[word]
@@ -96,15 +110,37 @@ def bow_scores(query: jnp.ndarray, database: jnp.ndarray) -> jnp.ndarray:
     return database @ query
 
 
+@jax.jit
+def bow_common_words(query: jnp.ndarray, database: jnp.ndarray) -> jnp.ndarray:
+    """(V,) x (K, V) -> (K,) count of vocabulary words present in both.
+
+    Counterpart of the reference's inverted-index shared-word counting
+    (KPFrameDataBase::relocalizationCandidates, keyframedatabase.cpp:195-
+    250): instead of walking word->frame lists, one masked matmul over the
+    dense histograms counts the intersection for every keyframe at once.
+    """
+    q = (query > 0).astype(jnp.bfloat16)
+    db = (database > 0).astype(jnp.bfloat16)
+    return jnp.dot(db, q, preferred_element_type=jnp.float32).astype(jnp.int32)
+
+
 class KeyFrameDataBase:
-    """Per-keyframe BoW vectors, kept alongside the Map arenas."""
+    """Per-keyframe BoW vectors, kept alongside the Map arenas.
+
+    `dummy=True` reproduces the reference's DummyDataBase
+    (keyframedatabase.cpp:98): no vocabulary — add/query are no-ops and no
+    candidates are ever returned, so BoW reloc/loop detection quietly
+    disable while everything else keeps running (ucoslam.h:41).
+    """
 
     def __init__(
         self,
         max_keyframes: int,
         vocab: jnp.ndarray | None = None,
         weights: jnp.ndarray | None = None,
+        dummy: bool = False,
     ):
+        self.dummy = dummy
         self.vocab = vocab if vocab is not None else make_vocabulary()
         self.weights = weights  # (V,) word weights or None (uniform)
         self.vectors = jnp.zeros((max_keyframes, self.vocab.shape[0]), jnp.float32)
@@ -116,13 +152,29 @@ class KeyFrameDataBase:
         from ucoslam_tpu.io.fbow import load_fbow
 
         v = load_fbow(path)
+        self.dummy = False  # a real vocabulary upgrades a DummyDataBase
         self.vocab = jnp.asarray(v.desc)
         self.weights = jnp.asarray(v.weight)
         self.vectors = jnp.zeros(
             (self.vectors.shape[0], self.vocab.shape[0]), jnp.float32
         )
 
+    def grow(self, new_max_keyframes: int) -> None:
+        """Extend the per-keyframe vector table (keyframe arena growth)."""
+        K = self.vectors.shape[0]
+        if new_max_keyframes > K:
+            self.vectors = jnp.concatenate(
+                [
+                    self.vectors,
+                    jnp.zeros(
+                        (new_max_keyframes - K, self.vectors.shape[1]), jnp.float32
+                    ),
+                ]
+            )
+
     def add(self, kf_slot: int, desc: jnp.ndarray, valid: jnp.ndarray) -> None:
+        if self.dummy:
+            return
         vec = bow_vector(desc, valid, self.vocab, self.weights)
         self.vectors = self.vectors.at[kf_slot].set(vec)
 
@@ -139,18 +191,59 @@ class KeyFrameDataBase:
         desc: jnp.ndarray,
         valid: jnp.ndarray,
         kf_active: np.ndarray,
+        covis: np.ndarray | None = None,
         exclude: set[int] = frozenset(),
         min_score_ratio: float = 0.75,
         max_candidates: int = 5,
+        min_common_ratio: float = 0.8,
     ) -> list[int]:
-        """Candidate keyframes scoring >= ratio * best (keyframedatabase.cpp:195)."""
-        scores = self.query(desc, valid)
-        scores = np.where(kf_active, scores, -1.0)
-        for e in exclude:
-            scores[e] = -1.0
-        best = scores.max()
-        if best <= 0:
+        """Candidate keyframes for relocalization / loop detection.
+
+        Reference protocol (KPFrameDataBase::relocalizationCandidates,
+        keyframedatabase.cpp:195-304): (1) gate by shared vocabulary words
+        >= 0.8 x the best shared-word count; (2) score survivors by BoW
+        similarity; (3) when `covis` (the (K, K) covisibility matrix) is
+        given, accumulate each survivor's score with its top-10 covisible
+        survivors and return the best-scoring member of every group whose
+        accumulated score >= 0.75 x the best group — covisibility grouping
+        stops near-identical neighbours from crowding out distinct places.
+        """
+        if self.dummy:
             return []
-        cand = np.nonzero(scores >= min_score_ratio * best)[0]
-        cand = cand[np.argsort(-scores[cand])]
-        return [int(c) for c in cand[:max_candidates]]
+        vec = bow_vector(desc, valid, self.vocab, self.weights)
+        scores = np.asarray(bow_scores(vec, self.vectors))
+        common = np.asarray(bow_common_words(vec, self.vectors))
+        ok = np.asarray(kf_active, bool).copy()
+        if exclude:
+            ok[np.fromiter(exclude, int)] = False
+        ok &= scores > 0
+        if not ok.any():
+            return []
+        max_common = common[ok].max()
+        ok &= common >= max(min_common_ratio * max_common, 1.0)
+        if not ok.any():
+            return []
+        cand = np.nonzero(ok)[0]
+        if covis is None:
+            best = scores[cand].max()
+            cand = cand[scores[cand] >= min_score_ratio * best]
+            cand = cand[np.argsort(-scores[cand])]
+            return [int(c) for c in cand[:max_candidates]]
+        # covisibility grouping (keyframedatabase.cpp:250-304)
+        acc = np.zeros(len(cand))
+        best_of = np.zeros(len(cand), int)
+        for j, i in enumerate(cand):
+            w = covis[i].copy()
+            w[~ok] = 0
+            nb = np.argsort(-w)[:10]
+            group = np.concatenate([[i], nb[w[nb] > 0]])
+            acc[j] = scores[group].sum()
+            best_of[j] = int(group[np.argmax(scores[group])])
+        best_acc = acc.max()
+        out: list[int] = []
+        for j in np.argsort(-acc):
+            if acc[j] < min_score_ratio * best_acc:
+                break
+            if best_of[j] not in out:
+                out.append(int(best_of[j]))
+        return out[:max_candidates]

@@ -134,3 +134,45 @@ def match_frames_epipolar(
         valid=accept,
         n_matches=jnp.sum(accept),
     )
+
+
+@partial(jax.jit, static_argnames=("check_rotation",))
+def match_frames_bow(
+    f1: Frame,
+    f2: Frame,
+    vocab: jnp.ndarray,
+    max_desc_dist: jnp.ndarray,
+    nn_ratio: jnp.ndarray = 0.8,
+    check_rotation: bool = True,
+) -> FrameMatches:
+    """Word-aligned matching (counterpart FrameMatcher_BoW,
+    framematcher.cpp:362-456): only descriptor pairs quantized to the SAME
+    vocabulary word are considered — the fBow2 node-aligned iteration
+    (fbow.h:91-93) expressed as an equality mask over quantized word ids
+    (mapping.kfdatabase.quantize_words). Tightens candidate matching at
+    reloc/loop scale where unrestricted Hamming admits aliases.
+    """
+    from ucoslam_tpu.mapping.kfdatabase import quantize_words
+
+    w1 = quantize_words(f1.desc, vocab)
+    w2 = quantize_words(f2.desc, vocab)
+    d = hamming_matrix(f1.desc, f2.desc)
+    word_ok = w1[:, None] == w2[None, :]
+    idx, best, second = match_best2(
+        d, valid_rows=f1.valid, valid_cols=f2.valid, extra_mask=word_ok
+    )
+    accept = (
+        (best <= max_desc_dist)
+        & (best.astype(jnp.float32) < nn_ratio * second.astype(jnp.float32))
+        & f1.valid
+    )
+    if check_rotation:
+        accept = _rotation_consistency(f1.angle, f2.angle, idx, accept)
+    keep = filter_ambiguous_train_sized(idx, jnp.where(accept, best, INVALID_DIST), f2.n)
+    accept = accept & keep
+    return FrameMatches(
+        train_idx=jnp.where(accept, idx, -1),
+        dist=best,
+        valid=accept,
+        n_matches=jnp.sum(accept),
+    )

@@ -27,7 +27,6 @@ from ucoslam_tpu.geometry.camera import CameraParams
 from ucoslam_tpu.mapping.frame import Frame
 from ucoslam_tpu.mapping.kfdatabase import KeyFrameDataBase
 from ucoslam_tpu.mapping.map import Map
-from ucoslam_tpu.optim.pnp import pnp_ransac
 from ucoslam_tpu.optim.posegraph import PoseGraphProblem, pose_graph_solve, sim3_to_se3
 
 
@@ -38,6 +37,7 @@ class LoopClosureInfo(NamedTuple):
     cur_kf: int
     matched_kf: int
     expected_pose: np.ndarray | None  # corrected pose_f2g of cur_kf
+    n_matches: int = 0  # geometric support (verified inliers / marker corners)
 
 
 class LoopDetector:
@@ -49,7 +49,7 @@ class LoopDetector:
 
     # ------------------------------------------------------------------
     def detect_from_keypoints(
-        self, world_map: Map, kf_slot: int, frame: Frame, min_covis_gap: int = 3
+        self, world_map: Map, kf_slot: int, frame: Frame, min_fseq_gap: int = 10
     ) -> LoopClosureInfo:
         """BoW candidate -> descriptor match -> PnP geometric check."""
         covis = world_map.covis_matrix()
@@ -61,71 +61,28 @@ class LoopDetector:
         recent = set(
             int(s)
             for s in np.nonzero(kf_active)[0]
-            if abs(cur_seq - int(fseqs[s])) < 10
+            if abs(cur_seq - int(fseqs[s])) < min_fseq_gap
         )
         cands = self.kfdb.relocalization_candidates(
-            frame.desc, frame.valid, kf_active, exclude=neighbours | recent
+            frame.desc, frame.valid, kf_active, covis=covis,
+            exclude=neighbours | recent,
         )
-        for cand in cands:
-            info = self._verify_candidate(world_map, kf_slot, frame, cand)
-            if info.found:
-                return info
-        return LoopClosureInfo(False, kf_slot, -1, None)
+        if not cands:
+            return LoopClosureInfo(False, kf_slot, -1, None)
+        # geometric verification of all candidates in one vmapped dispatch
+        # (loopdetector.cpp:4312; shared with BoW relocalization)
+        from ucoslam_tpu.matching.kfmatch import match_keyframe_points_pnp_batch
 
-    def _verify_candidate(
-        self, world_map: Map, kf_slot: int, frame: Frame, cand: int
-    ) -> LoopClosureInfo:
-        """Match the frame against the candidate's MAP POINTS, PnP-RANSAC."""
-        st = world_map.state
-        ids = np.asarray(st.kf_ids)[cand]
-        sel = np.nonzero(ids >= 0)[0]
-        if len(sel) < 30:
-            return LoopClosureInfo(False, kf_slot, cand, None)
-        from ucoslam_tpu.ops.hamming import (
-            INVALID_DIST,
-            filter_ambiguous_train_sized,
-            hamming_matrix,
-            match_best2,
-        )
-
-        # pad the candidate's point set to the keypoint capacity so the
-        # jitted matchers/RANSAC compile once, not once per candidate size
-        cap = st.N
-        pt_slots = np.zeros(cap, np.int64)
-        pt_slots[: len(sel)] = ids[sel][:cap]
-        row_valid = jnp.asarray(np.arange(cap) < len(sel))
-        pt_desc = st.pt_desc[jnp.asarray(pt_slots)]
-        pt_pos = st.pt_pos[jnp.asarray(pt_slots)]
-        d = hamming_matrix(pt_desc, frame.desc)
-        idx, best, second = match_best2(
-            d, valid_rows=row_valid, valid_cols=frame.valid
-        )
-        accept = (best <= self.params.maxDescDistance) & (
-            best.astype(jnp.float32) < 0.75 * second.astype(jnp.float32)
-        )
-        keep = filter_ambiguous_train_sized(
-            idx, jnp.where(accept, best, INVALID_DIST), frame.n
-        )
-        accept = accept & keep
-        if int(jnp.sum(accept)) < 25:
-            return LoopClosureInfo(False, kf_slot, cand, None)
-        safe = jnp.where(accept, idx, 0)
-        uv = frame.und_xy[safe]
-        sigma2 = jnp.exp(
-            2.0
-            * frame.octave[safe].astype(jnp.float32)
-            * jnp.log(jnp.float32(self.params.scaleFactor))
-        )
         self._key, sub = jax.random.split(self._key)
-        res = pnp_ransac(
-            pt_pos, uv, sigma2, accept, self.cam, sub,
-            n_hypotheses=self.params.ransacIters,
+        cms = match_keyframe_points_pnp_batch(
+            world_map, frame, cands, self.cam, self.params, sub,
+            min_matches=25, min_inliers=20,
         )
-        if int(res.n_inliers) < 20:
-            return LoopClosureInfo(False, kf_slot, cand, None)
-        return LoopClosureInfo(
-            True, kf_slot, cand, np.asarray(res.pose_f2g).astype(np.float32)
-        )
+        scored = list(zip(cms, cands))
+        cm, cand = max(scored, key=lambda t: (t[0].ok, t[0].n_inliers))
+        if not cm.ok:
+            return LoopClosureInfo(False, kf_slot, -1, None)
+        return LoopClosureInfo(True, kf_slot, cand, cm.pose_f2g, cm.n_inliers)
 
     # ------------------------------------------------------------------
     def detect_from_markers(
@@ -165,7 +122,9 @@ class LoopDetector:
         pose = best_pose_from_valid_markers(world_map, mk, self.cam)
         if pose is None:
             return LoopClosureInfo(False, kf_slot, -1, None)
-        return LoopClosureInfo(True, kf_slot, matched_kf, pose)
+        # geometric support = 4 corner correspondences per posed marker
+        n_corners = 4 * int(np.asarray(mk.valid).sum())
+        return LoopClosureInfo(True, kf_slot, matched_kf, pose, n_corners)
 
     # ------------------------------------------------------------------
     def correct_map(
@@ -191,11 +150,13 @@ class LoopDetector:
             edges_i.append(a_i)
             edges_j.append(b_i)
             meas.append(poses[a_i] @ np.linalg.inv(poses[b_i]))
-            # temporal bridges (w == 1) carry odometry-grade confidence;
-            # covis edges use their shared-observation count as weight
-            # (graphoptsim3.cpp:116-145)
-            weights.append(100.0 if w <= 1.0 else float(w))
-        # the loop edge: measured relative pose between cur and matched
+            # edge weight = covisibility count (graphoptsim3.cpp:116-145);
+            # artificial temporal bridges (w == 1, inserted only to keep the
+            # graph connected) get the covis floor so they do not dominate
+            weights.append(float(min_covis_weight) if w <= 1.0 else float(w))
+        # the loop edge: measured relative pose between cur and matched,
+        # weighted by its verified geometric support (inlier count) on the
+        # same scale as the covis-count weights
         ci = slot_index[info.cur_kf]
         mi = slot_index[info.matched_kf]
         T_cur_corrected = info.expected_pose
@@ -203,7 +164,7 @@ class LoopDetector:
         edges_i.append(ci)
         edges_j.append(mi)
         meas.append(meas_loop)
-        weights.append(500.0)
+        weights.append(float(max(info.n_matches, min_covis_weight)))
 
         fixed = np.zeros(K, bool)
         fixed[mi] = True  # old side fixed (graphoptsim3.cpp:105)
@@ -238,21 +199,25 @@ class LoopDetector:
         new_poses = np.asarray(sim3_to_se3(out))[:K]
 
         # move points with their reference keyframe: X' = Tnew^-1 Told X
+        # (vectorized over the whole point arena — no per-keyframe loop)
         kf_ids = np.asarray(st.kf_ids)
         pt_ref_kf = np.full(st.P, -1, np.int32)
-        for s in kf_slots[::-1]:  # earliest keyframe wins
+        for s in kf_slots[::-1]:  # earliest keyframe wins; O(K x N)
             ids = kf_ids[s]
             obs = ids[ids >= 0]
             pt_ref_kf[obs] = s
-        pt_pos = np.asarray(st.pt_pos).copy()
-        for i, s in enumerate(kf_slots):
-            sel = pt_ref_kf == s
-            if not sel.any():
-                continue
-            T_old = poses[i]
-            T_new = new_poses[i]
-            corr = np.linalg.inv(T_new) @ T_old
-            pt_pos[sel] = pt_pos[sel] @ corr[:3, :3].T + corr[:3, 3]
+        corr_all = np.einsum(
+            "kij,kjl->kil", np.linalg.inv(new_poses), poses
+        )  # (K, 4, 4) per-keyframe correction
+        idx_of_slot = np.full(st.K, 0, np.int32)
+        idx_of_slot[kf_slots] = np.arange(len(kf_slots))
+        has_ref = pt_ref_kf >= 0
+        ref_idx = idx_of_slot[np.clip(pt_ref_kf, 0, None)]
+        Rc = corr_all[ref_idx, :3, :3]  # (P, 3, 3)
+        tc = corr_all[ref_idx, :3, 3]
+        pt_pos = np.asarray(st.pt_pos)
+        moved = np.einsum("pij,pj->pi", Rc, pt_pos) + tc
+        pt_pos = np.where(has_ref[:, None], moved, pt_pos)
         new_kf_pose = np.asarray(st.kf_pose).copy()
         new_kf_pose[kf_slots] = new_poses
 

@@ -165,9 +165,43 @@ class Tracker:
             seen_mask=seen if ok else None,
         )
 
-    def relocalize(self, world_map: Map, frame: Frame) -> TrackResult:
-        """Brute-force descriptor reloc + RANSAC (DummyDataBase-style path;
-        BoW-indexed candidates arrive with the keyframe database)."""
+    def relocalize(
+        self, world_map: Map, frame: Frame, kfdb=None
+    ) -> TrackResult:
+        """Relocalize a lost tracker.
+
+        With a keyframe database (`kfdb`), this is the reference's BoW
+        path (system.cpp:4923-5292): retrieve covis-grouped candidate
+        keyframes (keyframedatabase.cpp:195-304), match the frame against
+        each candidate's MAP POINTS and verify with PnP-RANSAC — cost
+        O(candidates x N^2), independent of the total map size. Without
+        one (DummyDataBase), fall back to brute-force matching against the
+        whole point arena.
+        """
+        if kfdb is not None and not kfdb.dummy:
+            from ucoslam_tpu.matching.kfmatch import match_keyframe_points_pnp_batch
+
+            cands = kfdb.relocalization_candidates(
+                frame.desc,
+                frame.valid,
+                world_map.keyframes.active,
+                covis=world_map.covis_matrix(),
+            )
+            self._key, sub = jax.random.split(self._key)
+            # all candidates verified in one vmapped dispatch; try the
+            # best-supported verified pose first
+            cms = match_keyframe_points_pnp_batch(
+                world_map, frame, cands, self.cam, self.params, sub,
+                min_matches=20, min_inliers=15,
+            )
+            for cm in sorted(cms, key=lambda c: -c.n_inliers):
+                if cm.ok:
+                    res = self.track(world_map, frame, jnp.asarray(cm.pose_f2g))
+                    if res.ok:
+                        return res
+            return TrackResult(
+                False, frame.pose_f2g, frame, 0, 0, np.zeros(0, np.int32)
+            )
         st = world_map.state
         p = self.params
         kpt_idx, valid = _reloc_match(st, frame, jnp.float32(p.maxDescDistance))
