@@ -56,3 +56,56 @@ def test_dict_roundtrip():
     q = Params.from_dict(p.to_dict())
     assert p == q
     assert dataclasses.asdict(p) == dataclasses.asdict(q)
+
+
+def test_extra_params_escape_hatch():
+    """extraParams `key=value` overrides (ucoslamtypes.h:133) are parsed
+    and applied by Params.effective()."""
+    p = Params().replace(extraParams="KFCulling=0.5 maxNewPoints=123 detectMarkers=0")
+    e = p.effective()
+    assert e.KFCulling == 0.5
+    assert e.maxNewPoints == 123
+    assert e.detectMarkers is False
+    # unknown keys and junk are tolerated (reference attemtpRead semantics)
+    assert Params().replace(extraParams="nope=1 bad").effective() == Params().replace(
+        extraParams="nope=1 bad"
+    )
+
+
+def test_kf_min_confidence_changes_keyframe_count():
+    """KFMinConfidence must actually gate keyframe insertion
+    (ucoslamtypes.h:95; the knob KITTI presets tune)."""
+    from ucoslam_tpu.io.synthetic import SyntheticSequence
+    from ucoslam_tpu.slam.system import System
+
+    base = Params().replace(
+        maxMapPoints=4096, maxKeyFrames=32, maxKeyPointsPerFrame=512,
+        maxDescDistance=60.0, detectMarkers=False,
+    )
+    counts = {}
+    for conf in (0.0, 1.01):  # 1.01 can never qualify -> init keyframes only
+        seq = SyntheticSequence(n_frames=25, seed=11)
+        sys_ = System(base.replace(KFMinConfidence=conf), seq.cam)
+        for i in range(seq.n_frames):
+            sys_.process_frame(seq.frame(i))
+        counts[conf] = sys_.map.n_keyframes
+    assert counts[1.01] < counts[0.0], counts
+
+
+def test_max_features_bounds_detector_budget():
+    """maxFeatures (ucoslamtypes.h:98) bounds the extractor budget even
+    when the frame's padded capacity is larger."""
+    import numpy as np
+
+    from ucoslam_tpu.features.frame_extractor import FrameExtractor
+    from ucoslam_tpu.io.synthetic import SyntheticSequence
+
+    seq = SyntheticSequence(n_frames=1, seed=5, n_points=800)
+    p = Params().replace(
+        maxKeyPointsPerFrame=512, maxFeatures=128, detectMarkers=False,
+        nOctaveLevels=4,
+    )
+    fe = FrameExtractor(p, seq.cam)
+    f = fe.process(seq.render(0), 0)
+    assert f.valid.shape[0] == 512  # padded to capacity
+    assert int(np.asarray(f.valid).sum()) <= 128

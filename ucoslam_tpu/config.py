@@ -141,13 +141,11 @@ class Params:
     maxMapPoints: int = 16384  # map-point arena capacity
     maxKeyFrames: int = 256  # keyframe arena capacity
     maxMarkers: int = 64  # marker arena capacity
-    maxLocalKeyFrames: int = 16  # local-BA window capacity
-    maxLocalPoints: int = 4096  # local-BA point capacity
+    maxLocalKeyFrames: int = 8  # local-BA covis window size
     ransacIters: int = 256  # vmapped hypotheses for PnP/H/F RANSAC
     lmItersTracking: int = 10  # per-round LM iterations for motion-only BA
     lmRoundsTracking: int = 4  # outlier-reclassification rounds (ref pnpsolver)
     baIters: int = 100  # global BA LM iterations (ref ParamSet::nIters)
-    matchTileN: int = 512  # Hamming matcher tile size
 
     # ------------------------------------------------------------------
     def __post_init__(self):
@@ -155,6 +153,36 @@ class Params:
             object.__setattr__(
                 self, "maxDescDistance", hamming_gate_for(self.kpDescriptorType)
             )
+
+    def parse_extra(self) -> dict:
+        """Parse the `extraParams` escape hatch (ucoslamtypes.h:133): a
+        whitespace-separated list of `key=value` overrides for any Params
+        field. Unknown keys are ignored (the reference tolerates them)."""
+        out: dict[str, Any] = {}
+        fields = {f.name: f.type for f in dataclasses.fields(self)}
+        for tok in self.extraParams.split():
+            k, sep, v = tok.partition("=")
+            if not sep or k not in fields or k == "extraParams":
+                continue
+            cur = getattr(self, k)
+            try:
+                if isinstance(cur, bool):
+                    out[k] = bool(int(float(v)))
+                elif isinstance(cur, int):
+                    out[k] = int(float(v))
+                elif isinstance(cur, float):
+                    out[k] = float(v)
+                else:
+                    out[k] = v
+            except ValueError:
+                continue
+        return out
+
+    def effective(self) -> "Params":
+        """Params with extraParams `key=value` overrides applied (the
+        reference consumes extraParams inside System::setParams)."""
+        over = self.parse_extra()
+        return self.replace(**over) if over else self
 
     def setParams(self, sequential: bool, desc: DescriptorType = DescriptorType.ORB) -> "Params":
         """Counterpart of reference Params::setParams (ucoslamtypes.cpp:54-66)."""

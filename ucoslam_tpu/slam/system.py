@@ -23,20 +23,29 @@ from ucoslam_tpu.slam.tracker import Tracker
 
 
 class System:
-    def __init__(self, params: Params, cam: CameraParams, world_map: Map | None = None):
+    def __init__(
+        self,
+        params: Params,
+        cam: CameraParams,
+        world_map: Map | None = None,
+        kfdb=None,
+    ):
+        params = params.effective()  # apply the extraParams escape hatch
         self.params = params
         self.cam = cam
         self.map = world_map or Map(params)
         self.tracker = Tracker(params, cam)
         self.initializer = MapInitializer(params, cam)
-        self.manager = MapManager(params, cam)
-        # resuming from a loaded map: rebuild the BoW keyframe database
-        # (the reference serializes it inside the map; ours is derived)
-        for s in self.map.keyframes.active_slots():
-            self.manager.kfdb.add(
-                int(s), self.map.state.kf_desc[int(s)],
-                self.map.state.kf_kpt_valid[int(s)],
-            )
+        self.manager = MapManager(params, cam, kfdb=kfdb)
+        if kfdb is None:
+            # no serialized database came with the map: derive the BoW
+            # table from the loaded keyframes (checkpoints carry it —
+            # api.readFromFile passes the restored kfdb)
+            for s in self.map.keyframes.active_slots():
+                self.manager.kfdb.add(
+                    int(s), self.map.state.kf_desc[int(s)],
+                    self.map.state.kf_kpt_valid[int(s)],
+                )
         self.mode = Mode.SLAM
         self.state = TrackingState.LOST
         self.pose = None  # last pose_f2g (np 4x4) or None
@@ -68,6 +77,8 @@ class System:
 
         (counterpart UcoSlam::process -> System::process, ucoslam.cpp:20-28)
         """
+        from ucoslam_tpu.utils import timers
+
         if self.manager.is_async:
             self._consume_map_update()
         if self.map.n_keyframes == 0:
@@ -76,9 +87,21 @@ class System:
             return self._try_initialize(frame)
 
         if self.state == TrackingState.TRACKING:
-            res = self.tracker.track(self.map, frame, self._prior())
+            with timers.stage("track"):
+                res = self.tracker.track(self.map, frame, self._prior())
+        elif self.params.reLocalizationWithKeyPoints:
+            # BoW-indexed candidates through the keyframe database; the
+            # tracker falls back to brute force for a DummyDataBase
+            with timers.stage("reloc"):
+                res = self.tracker.relocalize(
+                    self.map, frame, kfdb=self.manager.kfdb
+                )
         else:
-            res = self.tracker.relocalize(self.map, frame)
+            from ucoslam_tpu.slam.tracker import TrackResult
+
+            res = TrackResult(
+                False, frame.pose_f2g, frame, 0, 0, np.zeros(0, np.int32)
+            )
 
         if not res.ok and self.params.detectMarkers and (
             self.params.reLocalizationWithMarkers or self.state == TrackingState.TRACKING
@@ -132,7 +155,8 @@ class System:
         if self.mode == Mode.SLAM and self._need_keyframe(res):
             self.manager.last_scale_correction = 1.0
             loops_before = self.manager.loop_closures
-            kf_slot = self.manager.new_keyframe(self.map, res.frame)
+            with timers.stage("mapping"):
+                kf_slot = self.manager.new_keyframe(self.map, res.frame)
             if self.manager.loop_closures != loops_before:
                 # bigChange (mapmanager.h:859): a loop moved the world under
                 # us — adopt the corrected keyframe pose, reset the motion
@@ -262,18 +286,25 @@ class System:
 
     def _need_keyframe(self, res) -> bool:
         """Keyframe policy (reference: KFMinConfidence + thRefRatio +
-        stereo close-point counts, system.cpp:1786 region)."""
+        stereo close-point counts, system.cpp:1786 region,
+        ucoslamtypes.h:95,150).
+
+        A new keyframe is NEEDED when the tracked inlier count drops below
+        thRefRatio x the reference keyframe's count (the view drifted from
+        the reference) or tracking has gone stale; the frame QUALIFIES as
+        a keyframe only when its own match confidence — inliers / matches
+        — is at least KFMinConfidence (the reference's minimum confidence
+        for a keyframe candidate, ucoslamtypes.h:95 — the knob dataset
+        presets tune, e.g. KITTI's 0.8)."""
         p = self.params
         if self.frames_since_kf < 1:
             return False
-        if self.map.keyframes.n_active >= p.maxKeyFrames - 1:
-            return False
+        # no capacity gate: the MapManager doubles the arenas when full
         ref = max(self.last_kf_inliers, 1)
-        weak = res.n_inliers < p.thRefRatio * ref
-        starving = res.n_inliers < 0.5 * ref
-        stale = self.frames_since_kf >= 20
-        enough = res.n_inliers >= 20
-        if enough and (weak or starving or stale):
+        need = res.n_inliers < p.thRefRatio * ref or self.frames_since_kf >= 20
+        confidence = res.n_inliers / max(res.n_matches, 1)
+        qualifies = res.n_inliers >= 20 and confidence >= p.KFMinConfidence
+        if need and qualifies:
             return True
         # marker-carried tracking (few/no keypoint inliers but markers with
         # known pose observed): insert keyframes periodically so mapping can
