@@ -62,6 +62,8 @@ class SyntheticSequence:
         n_markers: int = 0,
         marker_size: float = 0.5,
         marker_noise: float = 0.2,
+        roll_deg: float = 0.0,  # sinusoidal camera roll over the sequence
+        brightness_drift: float = 0.0,  # per-frame global gain amplitude
     ):
         self.cam = cam or CameraParams.create(
             500.0, 500.0, 320.0, 240.0, width=640, height=480, bl=0.1
@@ -96,6 +98,20 @@ class SyntheticSequence:
             ).astype(np.float32)
         self.descs = rng.integers(0, 2**32, (n_points, 8), dtype=np.uint32)
         self.brightness = rng.uniform(80, 255, n_points).astype(np.float32)
+        self.roll_deg = roll_deg
+        self.brightness_drift = brightness_drift
+        # render-mode quad statics: world-anchored half-sizes, in-plane
+        # rotations and 8x8 block textures (view-consistent by construction
+        # — texture coordinates live on the quad's world plane)
+        rngq = np.random.default_rng(12345)
+        self.quad_half = rngq.uniform(0.12, 0.35, (n_points, 2)).astype(np.float32)
+        self.quad_theta = rngq.uniform(-np.pi / 4, np.pi / 4, n_points).astype(
+            np.float32
+        )
+        tex = rngq.uniform(0.45, 1.55, (n_points, 8, 8)).astype(np.float32)
+        self.quad_tex = np.clip(
+            tex * self.brightness[:, None, None], 25.0, 255.0
+        ).astype(np.float32)
         # Physical size model: each blob has a max-detectable distance d0 (the
         # distance at which it is detected at pyramid octave 0). At distance
         # d it is detected at octave round(log(d0/d)/log(1.2)) — so
@@ -148,6 +164,16 @@ class SyntheticSequence:
             else:
                 raise ValueError(trajectory)
             R, t = _lookat(eye, center)
+            if roll_deg != 0.0:
+                # rotating-camera segment: sinusoidal roll about the optical
+                # axis exercises in-plane descriptor rotation invariance
+                phi = np.deg2rad(roll_deg) * np.sin(2 * np.pi * s)
+                c, sn = np.cos(phi), np.sin(phi)
+                Rz = np.array(
+                    [[c, -sn, 0.0], [sn, c, 0.0], [0.0, 0.0, 1.0]], np.float32
+                )
+                R = Rz @ R
+                t = Rz @ t
             self.poses.append(np.vstack([np.hstack([R, t[:, None]]), [0, 0, 0, 1]]).astype(np.float32))
 
     # -- ground truth ----------------------------------------------------
@@ -249,28 +275,92 @@ class SyntheticSequence:
         the distinct brightness pattern of neighbouring quads makes BRIEF
         descriptors discriminative.
         """
+        return self._render(i)[0]
+
+    def render_with_depth(self, i: int):
+        """(image, depth) of frame i — depth is the per-pixel z of the
+        visible surface (0 = background), the renderer's exact z-buffer.
+        Used by metric stereo-depth accuracy gates."""
+        return self._render(i, with_depth=True)
+
+    def _render(self, i: int, with_depth: bool = False):
+        """Homography-rasterized textured quads (adversarial imagery).
+
+        Each scene blob is a world-anchored quad in the z=const plane,
+        rotated in-plane by a per-quad angle and carrying an 8x8 block
+        texture on its surface — texture and rotation are view-consistent,
+        so descriptors must survive perspective, camera roll and scale
+        change, unlike the earlier axis-aligned constant-brightness boxes.
+        Depth output is the exact per-pixel camera-frame z.
+        """
         T = self.poses[i]
         R, t = T[:3, :3], T[:3, 3]
-        cam_pts = self.points @ R.T + t
-        z = cam_pts[:, 2]
-        uv = np.asarray(self.cam.project(jnp.asarray(cam_pts)))
+        fx, fy = float(self.cam.fx), float(self.cam.fy)
+        cx, cy = float(self.cam.cx), float(self.cam.cy)
+        K = np.array([[fx, 0, cx], [0, fy, cy], [0, 0, 1]], np.float32)
         h, w = self.cam.height, self.cam.width
         img = np.full((h, w), 40.0, np.float32)
-        vis = (z > 0.5) & (uv[:, 0] >= 3) & (uv[:, 0] < w - 3) & (uv[:, 1] >= 3) & (uv[:, 1] < h - 3)
-        # stable per-blob aspect/scale so the same blob looks alike in
-        # every frame (drawn back-to-front so occlusion is consistent)
-        rngq = np.random.default_rng(12345)
-        base = rngq.uniform(0.12, 0.35, (len(self.points), 2))
-        order = np.argsort(-z)
+        dep = np.zeros((h, w), np.float32) if with_depth else None
+
+        cam_pts = self.points @ R.T + t
+        z = cam_pts[:, 2]
+        # world in-plane quad basis (rotated by theta in the z=const plane)
+        cth, sth = np.cos(self.quad_theta), np.sin(self.quad_theta)
+        U = np.stack([cth, sth, np.zeros_like(cth)], -1) * self.quad_half[:, :1]
+        V = np.stack([-sth, cth, np.zeros_like(cth)], -1) * self.quad_half[:, 1:2]
+        order = np.argsort(-z)  # painter's algorithm, far to near
+        Rc2 = R[2]  # camera z row for exact per-pixel depth
         for j in order:
-            if not vis[j]:
+            if z[j] < 0.5:
                 continue
-            x, y = uv[j]
-            sx = base[j, 0] * self.cam.fx / z[j]
-            sy = base[j, 1] * self.cam.fy / z[j]
-            x0, x1 = int(max(0, x - sx)), int(min(w, x + sx + 1))
-            y0, y1 = int(max(0, y - sy)), int(min(h, y + sy + 1))
+            # homography (s, t, 1) -> pixel for quad j
+            cols = np.stack([R @ U[j], R @ V[j], cam_pts[j]], 1)  # (3, 3)
+            H = K @ cols
+            # projected corners -> integer bounding box
+            corn = H @ np.array(
+                [[-1, -1, 1], [1, -1, 1], [1, 1, 1], [-1, 1, 1]], np.float32
+            ).T  # (3, 4)
+            if (corn[2] < 1e-3).any():
+                continue  # quad crosses the image plane; skip
+            cu = corn[0] / corn[2]
+            cv = corn[1] / corn[2]
+            x0 = max(0, int(np.floor(cu.min())))
+            x1 = min(w, int(np.ceil(cu.max())) + 1)
+            y0 = max(0, int(np.floor(cv.min())))
+            y1 = min(h, int(np.ceil(cv.max())) + 1)
             if x1 <= x0 or y1 <= y0:
                 continue
-            img[y0:y1, x0:x1] = self.brightness[j]
-        return img
+            try:
+                Hinv = np.linalg.inv(H)
+            except np.linalg.LinAlgError:
+                continue
+            ys, xs = np.mgrid[y0:y1, x0:x1]
+            q = np.einsum(
+                "ab,byx->ayx",
+                Hinv,
+                np.stack([xs.astype(np.float32), ys.astype(np.float32),
+                          np.ones_like(xs, np.float32)]),
+            )
+            s = q[0] / q[2]
+            tt = q[1] / q[2]
+            inside = (np.abs(s) <= 1.0) & (np.abs(tt) <= 1.0) & (q[2] != 0)
+            if not inside.any():
+                continue
+            ti = np.clip(((s + 1.0) * 4.0).astype(np.int32), 0, 7)
+            tj = np.clip(((tt + 1.0) * 4.0).astype(np.int32), 0, 7)
+            patch = img[y0:y1, x0:x1]
+            patch[inside] = self.quad_tex[j][tj[inside], ti[inside]]
+            if with_depth:
+                # exact camera-frame depth of the surface point
+                zpix = (
+                    cam_pts[j][2]
+                    + s * (Rc2 @ U[j])
+                    + tt * (Rc2 @ V[j])
+                )
+                dpatch = dep[y0:y1, x0:x1]
+                dpatch[inside] = zpix[inside]
+        if self.brightness_drift != 0.0:
+            sfrac = i / max(self.n_frames - 1, 1)
+            gain = 1.0 + self.brightness_drift * np.sin(2 * np.pi * sfrac)
+            img = np.clip(img * gain, 0.0, 255.0)
+        return img, dep
