@@ -100,3 +100,62 @@ def test_fixed_vertex_untouched():
     problem, _, init = ring_problem()
     out = pose_graph_solve(problem, iters=10)
     np.testing.assert_allclose(np.asarray(out[0]), init[0], atol=1e-6)
+
+
+def test_lm_survives_adversarial_bad_loop():
+    """LM damping + accept/reject (graphoptsim3.cpp:85-153): a garbage
+    loop-closure measurement must not blow the graph apart — the damped
+    solver rejects cost-increasing steps, so the final cost is no worse
+    than the initial and every pose stays finite. (Plain GN relied on the
+    caller's post-hoc chi2 rollback to survive this.)"""
+    problem, true_poses, init = ring_problem(n=12)
+    # corrupt the loop edge with a wildly wrong measurement
+    meas = np.asarray(problem.edge_meas).copy()
+    bad = np.eye(4, dtype=np.float32)
+    bad[:3, 3] = [5.0, -4.0, 7.0]
+    bad[:3, :3] = np.asarray(
+        se3_exp(jnp.asarray(np.array([0, 0, 0, 2.5, 1.0, -1.7], np.float32)))
+    )[:3, :3]
+    meas[-1] = bad
+    weights = np.asarray(problem.edge_weight).copy()
+    weights[-1] = 50.0  # a "strongly supported" wrong loop
+    p_bad = problem._replace(
+        edge_meas=jnp.asarray(meas), edge_weight=jnp.asarray(weights)
+    )
+
+    def cost_of(poses, prob):
+        from ucoslam_tpu.optim.posegraph import _edge_residual
+
+        z = jnp.zeros(7)
+        r = np.stack(
+            [
+                np.asarray(
+                    _edge_residual(
+                        z, z, poses[int(i)], poses[int(j)], prob.edge_meas[k]
+                    )
+                )
+                for k, (i, j) in enumerate(
+                    zip(np.asarray(prob.edge_i), np.asarray(prob.edge_j))
+                )
+            ]
+        )
+        w = np.asarray(prob.edge_weight)
+        return float((w * (r**2).sum(-1)).sum())
+
+    out = np.asarray(pose_graph_solve(p_bad, iters=25))
+    assert np.isfinite(out).all()
+    assert cost_of(jnp.asarray(out), p_bad) <= cost_of(p_bad.poses, p_bad) + 1e-3
+
+
+def test_lm_converges_on_good_ring():
+    """With damping the good-loop ring still converges to the truth."""
+    from ucoslam_tpu.geometry import ate_rmse
+
+    problem, true_poses, init = ring_problem(n=12)
+    out = np.asarray(sim3_to_se3(pose_graph_solve(problem, iters=25)))
+
+    def centers(poses):
+        return np.stack([-T[:3, :3].T @ T[:3, 3] for T in poses])
+
+    ate = ate_rmse(centers(out), centers(true_poses))
+    assert ate < 0.02, f"ring ATE {ate}"

@@ -47,13 +47,35 @@ def pose_graph_solve(
     iters: int = 20,
     fix_scale: bool = False,
 ) -> jnp.ndarray:
-    """Gauss-Newton on the Sim3 pose graph; returns optimized (K, 4, 4)."""
+    """Levenberg-Marquardt on the Sim3 pose graph; returns (K, 4, 4).
+
+    Damped steps with cost-based accept/reject (the reference runs LM,
+    graphoptsim3.cpp:85-153; a plain GN step on a bad loop hypothesis can
+    tear the graph apart and survive only via the caller's chi2 rollback).
+    """
     K = problem.poses.shape[0]
-    E = problem.edge_i.shape[0]
     free = ~problem.fixed
     zero7 = jnp.zeros(7)
+    w = problem.edge_weight * problem.edge_valid
 
-    def gn_step(poses, _):
+    def residuals(poses):
+        Si = poses[problem.edge_i]
+        Sj = poses[problem.edge_j]
+        return jax.vmap(
+            lambda Si_e, Sj_e, meas_e: _edge_residual(zero7, zero7, Si_e, Sj_e, meas_e)
+        )(Si, Sj, problem.edge_meas)
+
+    def cost_of(poses):
+        r = residuals(poses)
+        return jnp.sum(w * jnp.sum(r * r, -1))
+
+    mask = free[:, None] & jnp.ones((K, 7), bool)
+    if fix_scale:
+        mask = mask & (jnp.arange(7)[None, :] != 6)
+    mflat = mask.reshape(-1)
+
+    def lm_step(carry, _):
+        poses, lam = carry
         Si = poses[problem.edge_i]
         Sj = poses[problem.edge_j]
 
@@ -64,7 +86,6 @@ def pose_graph_solve(
             return r, Ji, Jj
 
         r, Ji, Jj = jax.vmap(per_edge)(Si, Sj, problem.edge_meas)  # (E,7),(E,7,7)x2
-        w = problem.edge_weight * problem.edge_valid
         if fix_scale:
             # zero out the scale tangent column (7th dof frozen)
             scale_mask = jnp.ones(7).at[6].set(0.0)
@@ -90,23 +111,26 @@ def pose_graph_solve(
 
         # freeze fixed vertices (and the scale dof when fix_scale):
         # zero rows/cols of frozen dofs, identity on their diagonal
-        mask = free[:, None] & jnp.ones((K, 7), bool)
-        if fix_scale:
-            mask = mask & (jnp.arange(7)[None, :] != 6)
-        mflat = mask.reshape(-1)
         H_full = H.transpose(0, 2, 1, 3).reshape(7 * K, 7 * K)
         H_full = jnp.where(mflat[:, None] & mflat[None, :], H_full, 0.0)
-        H_full = H_full + jnp.diag(jnp.where(mflat, 1e-6, 1.0))
-        b_flat = jnp.where(mflat, b.reshape(-1), 0.0)
-        delta = jnp.linalg.solve(H_full, b_flat).reshape(K, 7)
-        delta = jnp.where(mask, delta, 0.0)
-        poses = jnp.where(
-            free[:, None, None], sim3_exp(-delta) @ poses, poses
+        diag = jnp.diag(H_full)
+        # LM damping on the (free-dof) diagonal
+        H_damped = H_full + jnp.diag(
+            jnp.where(mflat, 1e-6 + lam * jnp.maximum(diag, 1e-8), 1.0)
         )
-        cost = jnp.sum(w * jnp.sum(r * r, -1))
-        return poses, cost
+        b_flat = jnp.where(mflat, b.reshape(-1), 0.0)
+        delta = jnp.linalg.solve(H_damped, b_flat).reshape(K, 7)
+        delta = jnp.where(mask, delta, 0.0)
+        cand = jnp.where(free[:, None, None], sim3_exp(-delta) @ poses, poses)
+        cur_cost = jnp.sum(w * jnp.sum(r * r, -1))
+        new_cost = cost_of(cand)
+        accept = new_cost < cur_cost
+        poses = jnp.where(accept, cand, poses)
+        lam = jnp.clip(jnp.where(accept, lam * 0.5, lam * 4.0), 1e-8, 1e6)
+        return (poses, lam), jnp.where(accept, new_cost, cur_cost)
 
-    poses, costs = jax.lax.scan(gn_step, problem.poses, None, length=iters)
+    init = (problem.poses, jnp.float32(1e-4))
+    (poses, _), _ = jax.lax.scan(lm_step, init, None, length=iters)
     return poses
 
 

@@ -6,9 +6,10 @@ g2o there; SURVEY.md §2.3: the distributed axis is NEW capability):
 
 - relative-Sim3 EDGES shard across the mesh axis ("pt");
 - keyframe Sim3 vertices replicate (K is small);
-- each device scatters its edge shard's 7x7 Gauss-Newton blocks into a
-  local (K, K, 7, 7) Hessian, `psum`s H and b — the ONLY collective per
-  iteration — and solves the dense 7K system redundantly;
+- each device scatters its edge shard's 7x7 LM blocks into a local
+  (K, K, 7, 7) Hessian, `psum`s H/b/cost, solves the damped dense 7K
+  system redundantly, and `psum`s the candidate cost for the LM
+  accept/reject — two collectives per iteration;
 - the whole fixed-iteration loop runs inside ONE shard_map'd lax.scan, so
   a solve is a single dispatch regardless of iteration count.
 """
@@ -63,7 +64,17 @@ def sharded_pose_graph_solve(
     zero7 = jnp.zeros(7)
     axis = mesh.axis_names[0]
 
-    def local_step(poses, free, edge_i, edge_j, edge_meas, edge_w, edge_valid):
+    def _residuals(poses, edge_i, edge_j, edge_meas):
+        Si = poses[edge_i]
+        Sj = poses[edge_j]
+        return jax.vmap(
+            lambda Si_e, Sj_e, meas_e: _edge_residual(
+                zero7, zero7, Si_e, Sj_e, meas_e
+            )
+        )(Si, Sj, edge_meas)
+
+    def local_step(carry, free, edge_i, edge_j, edge_meas, edge_w, edge_valid):
+        poses, lam = carry
         Si = poses[edge_i]
         Sj = poses[edge_j]
 
@@ -90,10 +101,10 @@ def sharded_pose_graph_solve(
         b = b.at[edge_j].add(jnp.einsum("eri,er,e->ei", Jj, r, w))
         local_cost = jnp.sum(w * jnp.sum(r * r, -1))
 
-        # the one collective per iteration
+        # collective 1/2: reduced system + current cost
         H = jax.lax.psum(H, axis)
         b = jax.lax.psum(b, axis)
-        cost = jax.lax.psum(local_cost, axis)
+        cur_cost = jax.lax.psum(local_cost, axis)
 
         mask = free[:, None] & jnp.ones((K, 7), bool)
         if fix_scale:
@@ -101,12 +112,22 @@ def sharded_pose_graph_solve(
         mflat = mask.reshape(-1)
         H_full = H.transpose(0, 2, 1, 3).reshape(7 * K, 7 * K)
         H_full = jnp.where(mflat[:, None] & mflat[None, :], H_full, 0.0)
-        H_full = H_full + jnp.diag(jnp.where(mflat, 1e-6, 1.0))
+        diag = jnp.diag(H_full)
+        # LM damping (matches optim.posegraph.pose_graph_solve)
+        H_full = H_full + jnp.diag(
+            jnp.where(mflat, 1e-6 + lam * jnp.maximum(diag, 1e-8), 1.0)
+        )
         b_flat = jnp.where(mflat, b.reshape(-1), 0.0)
         delta = jnp.linalg.solve(H_full, b_flat).reshape(K, 7)
         delta = jnp.where(mask, delta, 0.0)
-        poses = jnp.where(free[:, None, None], sim3_exp(-delta) @ poses, poses)
-        return poses, cost
+        cand = jnp.where(free[:, None, None], sim3_exp(-delta) @ poses, poses)
+        # collective 2/2: candidate cost for the LM accept/reject
+        r_new = _residuals(cand, edge_i, edge_j, edge_meas)
+        new_cost = jax.lax.psum(jnp.sum(w * jnp.sum(r_new * r_new, -1)), axis)
+        accept = new_cost < cur_cost
+        poses = jnp.where(accept, cand, poses)
+        lam = jnp.clip(jnp.where(accept, lam * 0.5, lam * 4.0), 1e-8, 1e6)
+        return (poses, lam), jnp.where(accept, new_cost, cur_cost)
 
     @partial(
         jax.shard_map,
@@ -117,10 +138,12 @@ def sharded_pose_graph_solve(
     def run(poses, fixed, edge_i, edge_j, edge_meas, edge_w, edge_valid):
         free = ~fixed
 
-        def body(p, _):
-            return local_step(p, free, edge_i, edge_j, edge_meas, edge_w, edge_valid)
+        def body(carry, _):
+            return local_step(carry, free, edge_i, edge_j, edge_meas, edge_w, edge_valid)
 
-        poses, costs = jax.lax.scan(body, poses, None, length=iters)
+        (poses, _), costs = jax.lax.scan(
+            body, (poses, jnp.float32(1e-4)), None, length=iters
+        )
         return poses, costs
 
     poses, costs = jax.jit(run)(
