@@ -49,3 +49,11 @@ class Arena:
     def sync_from_mask(self, mask: np.ndarray) -> None:
         """Adopt a device-computed liveness mask (e.g. after batch culls)."""
         self.active = np.asarray(mask, bool).copy()
+
+    def grow(self, new_capacity: int) -> None:
+        """Extend capacity; existing slot ids are unchanged (id-stable)."""
+        assert new_capacity >= self.capacity
+        ext = np.zeros(new_capacity, bool)
+        ext[: self.capacity] = self.active
+        self.active = ext
+        self.capacity = new_capacity

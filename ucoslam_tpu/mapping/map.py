@@ -415,6 +415,68 @@ class Map:
         self.keyframes = Arena(self.params.maxKeyFrames)
         self.markers = Arena(self.params.maxMarkers)
 
+    # -- capacity growth ------------------------------------------------
+    # XLA needs static shapes, so the arenas are fixed-capacity arrays —
+    # but a long sequence must not starve (SURVEY §5 map-size scaling).
+    # Doubling re-pads every affected array; jitted ops recompile once per
+    # capacity bucket (log2 growth ⇒ a handful of compiles per run).
+
+    def grow_points(self, new_P: int | None = None) -> int:
+        P = self.state.P
+        new_P = new_P or 2 * P
+        if new_P <= P:
+            return P
+        st = self.state
+
+        def pad(a, fill=0):
+            ext = [(0, new_P - P)] + [(0, 0)] * (a.ndim - 1)
+            return jnp.pad(a, ext, constant_values=fill)
+
+        self.state = st._replace(
+            pt_pos=pad(st.pt_pos),
+            pt_normal=pad(st.pt_normal),
+            pt_desc=pad(st.pt_desc),
+            pt_min_dist=pad(st.pt_min_dist),
+            pt_max_dist=pad(st.pt_max_dist, fill=1e9),
+            pt_flags=pad(st.pt_flags),
+            pt_n_seen=pad(st.pt_n_seen),
+            pt_n_visible=pad(st.pt_n_visible),
+            pt_creation_kf=pad(st.pt_creation_kf),
+            pt_active=pad(st.pt_active, fill=False),
+        )
+        self.points.grow(new_P)
+        self.params = self.params.replace(maxMapPoints=new_P)
+        return new_P
+
+    def grow_keyframes(self, new_K: int | None = None) -> int:
+        K = self.state.K
+        new_K = new_K or 2 * K
+        if new_K <= K:
+            return K
+        st = self.state
+
+        def pad(a, fill=0):
+            ext = [(0, new_K - K)] + [(0, 0)] * (a.ndim - 1)
+            return jnp.pad(a, ext, constant_values=fill)
+
+        eye_tail = jnp.broadcast_to(jnp.eye(4, dtype=jnp.float32), (new_K - K, 4, 4))
+        self.state = st._replace(
+            kf_pose=jnp.concatenate([st.kf_pose, eye_tail]),
+            kf_fseq=pad(st.kf_fseq, fill=-1),
+            kf_active=pad(st.kf_active, fill=False),
+            kf_xy=pad(st.kf_xy),
+            kf_octave=pad(st.kf_octave),
+            kf_desc=pad(st.kf_desc),
+            kf_depth=pad(st.kf_depth),
+            kf_kpt_valid=pad(st.kf_kpt_valid, fill=False),
+            kf_ids=pad(st.kf_ids, fill=-1),
+            kf_mk_slot=pad(st.kf_mk_slot, fill=-1),
+            kf_mk_corners=pad(st.kf_mk_corners),
+        )
+        self.keyframes.grow(new_K)
+        self.params = self.params.replace(maxKeyFrames=new_K)
+        return new_K
+
     # -- keyframes ------------------------------------------------------
     def add_keyframe(self, frame: Frame) -> int:
         slot = self.keyframes.alloc()
@@ -422,7 +484,7 @@ class Map:
         return slot
 
     def remove_keyframes(self, slots) -> None:
-        mask = np.zeros(self.params.maxKeyFrames, bool)
+        mask = np.zeros(self.state.K, bool)
         mask[np.asarray(slots, int)] = True
         self.state = op_remove_keyframes(self.state, jnp.asarray(mask))
         self.keyframes.free(slots)
@@ -454,7 +516,7 @@ class Map:
         return slots
 
     def remove_points(self, slots_or_mask) -> None:
-        mask = np.zeros(self.params.maxMapPoints, bool)
+        mask = np.zeros(self.state.P, bool)
         arr = np.asarray(slots_or_mask)
         if arr.dtype == bool:
             mask = arr
@@ -500,14 +562,13 @@ class Map:
         covis = self.covis_matrix()
         fseq = np.asarray(self.state.kf_fseq)[slots]
         order = np.argsort(fseq)
-        cand: dict[tuple[int, int], float] = {}
-        for ia in range(K):
-            a = int(slots[ia])
-            for ib in range(ia + 1, K):
-                b = int(slots[ib])
-                w = float(covis[a, b])
-                if w > 0:
-                    cand[(a, b)] = w
+        # candidate edges from the covis matrix, vectorized (no K^2 loop)
+        sub = covis[np.ix_(slots, slots)]
+        ia, ib = np.nonzero(np.triu(sub, 1) > 0)
+        cand: dict[tuple[int, int], float] = {
+            (int(slots[x]), int(slots[y])): float(sub[x, y])
+            for x, y in zip(ia, ib)
+        }
         # weight-1 temporal bridges guarantee a spanning forest -> tree
         for x, y in zip(order[:-1], order[1:]):
             a, b = sorted((int(slots[x]), int(slots[y])))

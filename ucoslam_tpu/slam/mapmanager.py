@@ -21,6 +21,17 @@ Two dispatch modes, matching the reference's runSequential switch
   closure / metric rescale) are published as an update the tracker
   consumes at the next frame start (the reference's mapUpdate/bigChange,
   mapmanager.h:847,859).
+
+Deliberate async-mode semantics (differences vs the reference's thread):
+- seen/visible counter bumps are DROPPED under queue backpressure
+  (enqueue_stats) — they only tune point culling, and starving the
+  keyframe channel for them would be the worse trade;
+- busy() admits one keyframe candidate in flight: the tracker keeps
+  tracking on its snapshot instead of queueing stale candidates (the
+  reference's TSQueue holds more but drops older entries when full);
+- a running local BA is never interrupted by a new candidate (the
+  reference's mapping thread checks an abort flag mid-BA); candidates
+  arriving meanwhile are simply skipped by the busy() gate.
 """
 
 from __future__ import annotations
@@ -64,7 +75,7 @@ def _frame_from_kf(world_map: Map, slot: int) -> Frame:
 class MapManager:
     """Sequential-mode local mapping driven by the System."""
 
-    def __init__(self, params: Params, cam: CameraParams):
+    def __init__(self, params: Params, cam: CameraParams, kfdb=None):
         from ucoslam_tpu.mapping.kfdatabase import KeyFrameDataBase
         from ucoslam_tpu.slam.loopclosure import LoopDetector
 
@@ -72,7 +83,7 @@ class MapManager:
         self.cam = cam
         self.kf_counter = 0
         self.last_scale_correction = 1.0  # set when marker scale rescales the map
-        self.kfdb = KeyFrameDataBase(params.maxKeyFrames)
+        self.kfdb = kfdb if kfdb is not None else KeyFrameDataBase(params.maxKeyFrames)
         self.loop_detector = LoopDetector(params, cam, self.kfdb)
         self.loop_closures = 0  # loops accepted (bigChange counter)
         # async dispatch state (started by start_async)
@@ -201,6 +212,12 @@ class MapManager:
     def new_keyframe(self, world_map: Map, frame: Frame) -> int:
         """Insert `frame` as a keyframe and grow the map around it."""
         p = self.params
+        # capacity-doubling growth so long sequences never starve
+        # (SURVEY §5 map-size scaling; the arenas are XLA-static per bucket)
+        if world_map.keyframes.n_active >= world_map.state.K - 1:
+            self.kfdb.grow(world_map.grow_keyframes())
+        if world_map.points.n_active >= int(0.95 * world_map.state.P):
+            world_map.grow_points()
         # async: the candidate's point ids were assigned against an older
         # state snapshot — drop ids whose slots were freed/recycled meanwhile
         ids = np.asarray(frame.ids)
@@ -238,8 +255,13 @@ class MapManager:
         self._cull_recent_points(world_map)
         if world_map.n_keyframes >= 3:
             from ucoslam_tpu.optim.ba import local_bundle_adjustment
+            from ucoslam_tpu.utils import timers
 
-            local_bundle_adjustment(world_map, self.cam, kf_slot, n_iters=10)
+            with timers.stage("localBA"):
+                local_bundle_adjustment(
+                    world_map, self.cam, kf_slot, n_iters=10,
+                    max_window=p.maxLocalKeyFrames,
+                )
         # refresh point normals / scale bounds / representative descriptors
         # (updatePointNormalAndDistances, globaloptimizer_g2o.cpp:466-537)
         from ucoslam_tpu.mapping.map import op_update_point_stats
@@ -253,7 +275,10 @@ class MapManager:
 
         # ---- loop closure (reference: mapping-thread loop detect) ----
         self.kfdb.add(kf_slot, frame.desc, frame.valid)
-        self._detect_and_close_loop(world_map, kf_slot, frame)
+        from ucoslam_tpu.utils import timers
+
+        with timers.stage("loop"):
+            self._detect_and_close_loop(world_map, kf_slot, frame)
         return kf_slot
 
     # ------------------------------------------------------------------
@@ -303,7 +328,7 @@ class MapManager:
         sf = self.params.scaleFactor
         max_d = dist * sf**octave
         min_d = max_d / sf ** (self.params.nOctaveLevels - 1)
-        avail = self.params.maxMapPoints - world_map.n_points
+        avail = world_map.state.P - world_map.n_points
         if avail <= 0:
             return
         idx = idx[:avail]
@@ -377,7 +402,7 @@ class MapManager:
                 continue
             if len(idx1) > budget:
                 idx1 = idx1[:budget]
-            avail = p.maxMapPoints - world_map.n_points
+            avail = world_map.state.P - world_map.n_points
             if avail <= 0:
                 break
             idx1 = idx1[:avail]
@@ -430,24 +455,39 @@ class MapManager:
         mvalid = np.asarray(m.point_valid)
         ids = np.asarray(st.kf_ids)[kf_slot]
         obs_counts = world_map.point_observation_counts()
-        kf_ids_all = None
-        fused = 0
-        for p in np.nonzero(mvalid)[0]:
-            k = kpt_idx[p]
-            q = ids[k]  # point currently assigned to that keypoint
-            if q < 0 or q == p:
-                continue
-            keep, lose = (p, q) if obs_counts[p] >= obs_counts[q] else (q, p)
-            if kf_ids_all is None:
-                kf_ids_all = np.asarray(st.kf_ids).copy()
-            kf_ids_all[kf_ids_all == lose] = keep
-            world_map.points.free([lose])
-            fused += 1
-        if fused:
-            world_map.state = world_map.state._replace(
-                kf_ids=jnp.asarray(kf_ids_all),
-                pt_active=jnp.asarray(world_map.points.active),
-            )
+        # vectorized pair resolution: each projected point p that lands on
+        # a keypoint already claimed by a different point q is a duplicate
+        # pair (p, q); keep the better-observed one, remap the loser
+        # everywhere with one gather (no per-pair array rewrites)
+        p_all = np.nonzero(mvalid)[0]
+        q_all = ids[kpt_idx[p_all]]
+        sel = (q_all >= 0) & (q_all != p_all)
+        p_all, q_all = p_all[sel], q_all[sel]
+        if len(p_all) == 0:
+            return
+        # deterministic winner: more observations, ties to the lower slot
+        # (also makes (p,q)/(q,p) orientations agree — no remap cycles)
+        cp, cq = obs_counts[p_all], obs_counts[q_all]
+        lo = np.minimum(p_all, q_all)
+        hi = np.maximum(p_all, q_all)
+        keep = np.where(cp > cq, p_all, np.where(cq > cp, q_all, lo))
+        lose = np.where(cp > cq, q_all, np.where(cq > cp, p_all, hi))
+        remap = np.arange(st.P, dtype=np.int32)
+        remap[lose] = keep.astype(np.int32)
+        # path-compress chains (a->b, b->c) to their final survivor
+        for _ in range(2 + int(np.log2(max(len(p_all), 2)))):
+            nxt = remap[remap]
+            if (nxt == remap).all():
+                break
+            remap = nxt
+        kf_ids_all = np.asarray(st.kf_ids)
+        obs = kf_ids_all >= 0
+        kf_ids_all = np.where(obs, remap[np.clip(kf_ids_all, 0, None)], kf_ids_all)
+        world_map.points.free(np.nonzero(remap != np.arange(st.P))[0])
+        world_map.state = world_map.state._replace(
+            kf_ids=jnp.asarray(kf_ids_all),
+            pt_active=jnp.asarray(world_map.points.active),
+        )
 
     # ------------------------------------------------------------------
     def _cull_keyframes(self, world_map: Map, kf_slot: int):
