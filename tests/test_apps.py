@@ -189,3 +189,83 @@ def test_stereo_calibrate_synthetic_chessboard(tmp_path):
     assert fs.getNode("M1").mat().shape == (3, 3)
     assert fs.getNode("Q").mat().shape == (4, 4)
     fs.release()
+
+
+def test_euroc_loader_roundtrip(tmp_path):
+    """EuRoC mav0/ layout: write synthetic, open, read images + calib + gt
+    (reference: euroc_stereoRectification.cpp / test_generator_stereo.sh)."""
+    from ucoslam_tpu.io.datasets import EurocSequence, write_synthetic_euroc
+
+    seq = SyntheticSequence(n_frames=4, n_points=200)
+    root = str(tmp_path / "euroc")
+    write_synthetic_euroc(seq, root, stereo=True)
+    ds = EurocSequence.open(root)
+    assert len(ds) == 4
+    img = ds.read(0)
+    assert img.shape == (480, 640)
+    right = ds.read(0, 1)
+    assert right.shape == (480, 640)
+    cam = ds.camera()
+    assert abs(float(cam.fx) - 500.0) < 1e-3
+    assert abs(cam.bl - seq.cam.bl) < 1e-6
+    assert ds.gt is not None and len(ds.gt[0]) == 4
+
+
+def test_kitti_loader_roundtrip(tmp_path):
+    """KITTI odometry layout: image_0/ + times.txt + calib.txt P0/P1."""
+    from ucoslam_tpu.io.datasets import KittiSequence, write_synthetic_kitti
+
+    seq = SyntheticSequence(n_frames=4, n_points=200)
+    root = str(tmp_path / "kitti")
+    write_synthetic_kitti(seq, root, stereo=True)
+    ds = KittiSequence.open(root, poses_file=os.path.join(root, "poses.txt"))
+    assert len(ds) == 4
+    assert ds.read(0).shape == (480, 640)
+    cam = ds.camera()
+    assert abs(float(cam.fx) - 500.0) < 1e-3
+    assert abs(cam.bl - seq.cam.bl) < 1e-4
+    assert ds.gt is not None and len(ds.gt[0]) == 4
+    # gt centers match the synthetic trajectory
+    np.testing.assert_allclose(ds.gt[1], seq.gt_positions(), atol=1e-4)
+
+
+def test_dataset_format_detection_and_presets(tmp_path):
+    from ucoslam_tpu.io.datasets import (
+        dataset_preset,
+        detect_dataset_format,
+        write_synthetic_euroc,
+        write_synthetic_kitti,
+        write_synthetic_tum,
+    )
+
+    seq = SyntheticSequence(n_frames=2, n_points=100)
+    e, k, t = str(tmp_path / "e"), str(tmp_path / "k"), str(tmp_path / "t")
+    write_synthetic_euroc(seq, e, stereo=False)
+    write_synthetic_kitti(seq, k, stereo=False)
+    write_synthetic_tum(seq, t)
+    assert detect_dataset_format(e) == "euroc"
+    assert detect_dataset_format(k) == "kitti"
+    assert detect_dataset_format(t) == "tum"
+    over, harness = dataset_preset("kitti")
+    # the reference preset: -KFMinConfidence 0.8 -KFCulling 0.8 -recovery
+    assert over == {"KFMinConfidence": 0.8, "KFCulling": 0.8}
+    assert harness.get("recovery") is True
+
+
+@pytest.mark.slow
+def test_cli_two_pass_on_euroc_tree(tmp_path):
+    """test_sequence --dataset pointed at a synthetic EuRoC tree runs both
+    passes and emits ATE (VERDICT round-1 item 4's done-criterion)."""
+    from ucoslam_tpu.io.datasets import write_synthetic_euroc
+
+    seq = SyntheticSequence(n_frames=8, n_points=500)
+    root = str(tmp_path / "euroc")
+    write_synthetic_euroc(seq, root, stereo=False)
+    out = str(tmp_path / "run")
+    r = subprocess.run(
+        [sys.executable, "-m", "ucoslam_tpu.apps.test_sequence",
+         "--dataset", root, "--out-dir", out],
+        env=ENV, capture_output=True, text=True, timeout=900,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "ATE=" in r.stdout, r.stdout[-2000:]

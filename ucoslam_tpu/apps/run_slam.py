@@ -52,7 +52,12 @@ def main(argv=None) -> int:
     from ucoslam_tpu.io.datasets import TumSequence, save_trajectory_tum
 
     ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("--dataset", help="TUM-style dataset directory")
+    ap.add_argument("--dataset", help="dataset directory (TUM/EuRoC/KITTI)")
+    ap.add_argument(
+        "--format", choices=["tum", "euroc", "kitti"],
+        help="dataset layout; sniffed from the directory when omitted",
+    )
+    ap.add_argument("--stereo", action="store_true")
     ap.add_argument("--synthetic", type=int, default=0, help="run N synthetic frames")
     ap.add_argument("--camera", help="camera YAML")
     ap.add_argument("--params", help="params YAML")
@@ -71,6 +76,7 @@ def main(argv=None) -> int:
         maxDescDistance=60.0,
     )
 
+    get_right = None
     if args.synthetic:
         from ucoslam_tpu.io.synthetic import SyntheticSequence
 
@@ -81,18 +87,43 @@ def main(argv=None) -> int:
         if not args.dataset:
             ap.error("--dataset or --synthetic required")
         from ucoslam_tpu.geometry.camera import CameraParams
-
-        tum = TumSequence.open(args.dataset)
-        cam = (
-            load_camera_yml(args.camera)
-            if args.camera
-            else CameraParams.create(500.0, 500.0, 320.0, 240.0)
+        from ucoslam_tpu.io.datasets import (
+            EurocSequence,
+            KittiSequence,
+            detect_dataset_format,
         )
-        frames = [
-            (tum.rgb[i][0], lambda i=i: tum.read_rgb(i),
-             (lambda i=i: tum.read_depth_for(i)) if args.rgbd else None)
-            for i in range(len(tum))
-        ]
+
+        fmt = args.format or detect_dataset_format(args.dataset)
+        if fmt == "euroc":
+            ds = EurocSequence.open(args.dataset, stereo=args.stereo)
+            cam = load_camera_yml(args.camera) if args.camera else ds.camera()
+            frames = [
+                (float(ds.stamps[i]), lambda i=i: ds.read(i), None)
+                for i in range(len(ds))
+            ]
+            if args.stereo and ds.files1 is not None:
+                get_right = lambda i: ds.read(i, 1)  # noqa: E731
+        elif fmt == "kitti":
+            ds = KittiSequence.open(args.dataset)
+            cam = load_camera_yml(args.camera) if args.camera else ds.camera()
+            frames = [
+                (float(ds.stamps[i]), lambda i=i: ds.read(i), None)
+                for i in range(len(ds))
+            ]
+            if args.stereo and ds.files1 is not None:
+                get_right = lambda i: ds.read(i, 1)  # noqa: E731
+        else:
+            tum = TumSequence.open(args.dataset)
+            cam = (
+                load_camera_yml(args.camera)
+                if args.camera
+                else CameraParams.create(500.0, 500.0, 320.0, 240.0)
+            )
+            frames = [
+                (tum.rgb[i][0], lambda i=i: tum.read_rgb(i),
+                 (lambda i=i: tum.read_depth_for(i)) if args.rgbd else None)
+                for i in range(len(tum))
+            ]
     if args.max_frames:
         frames = frames[: args.max_frames]
 
@@ -113,7 +144,9 @@ def main(argv=None) -> int:
     t0 = time.time()
     for i, (stamp, get_img, get_depth) in enumerate(frames):
         img = get_img()
-        if get_depth is not None:
+        if get_right is not None:
+            pose = slam.processStereo(img, get_right(i), fseq=i)
+        elif get_depth is not None:
             depth = get_depth()
             pose = slam.processRGBD(img, depth, fseq=i) if depth is not None else None
         else:

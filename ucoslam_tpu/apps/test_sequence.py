@@ -32,21 +32,49 @@ def main(argv=None) -> int:
 
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--dataset")
+    ap.add_argument(
+        "--format", choices=["tum", "euroc", "kitti"],
+        help="dataset layout; sniffed from the directory when omitted",
+    )
+    ap.add_argument(
+        "--preset",
+        help="param preset (kitti/euroc/euroc_difficult/spm/tum); defaults "
+        "to the detected format (test_generator_monocular.sh presets)",
+    )
     ap.add_argument("--synthetic", type=int, default=0)
+    ap.add_argument("--stereo", action="store_true")
+    ap.add_argument("--gt", help="ground-truth file (KITTI poses.txt)")
     ap.add_argument("--camera")
     ap.add_argument("--params")
     ap.add_argument("--out-dir", default="results")
     ap.add_argument("--recovery", action="store_true")
     ap.add_argument("--save-every", type=int, default=0)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument(
+        "--profile", action="store_true",
+        help="dump a jax profiler trace of pass 1 into <out-dir>/trace",
+    )
+    ap.add_argument("--debug-level", type=int, default=0)
+    ap.add_argument(
+        "--dbg-str", action="append", default=[],
+        help="debug string-registry entries key[=value] (Debug::addString)",
+    )
     args = ap.parse_args(argv)
     os.makedirs(args.out_dir, exist_ok=True)
+
+    from ucoslam_tpu.utils import Debug, timers
+
+    Debug.setLevel(args.debug_level)
+    for s in args.dbg_str:
+        k, _, v = s.partition("=")
+        Debug.addString(k, v)
 
     params = Params.load_yml(args.params) if args.params else Params().replace(
         maxMapPoints=8192, maxKeyFrames=64, maxKeyPointsPerFrame=1024,
         maxDescDistance=60.0,
     )
 
+    get_right = None
     if args.synthetic:
         from ucoslam_tpu.io.synthetic import SyntheticSequence
 
@@ -54,56 +82,122 @@ def main(argv=None) -> int:
         cam = seq.cam
         n = seq.n_frames
         get_img = seq.render
+        if args.stereo:
+            get_right = lambda i: seq.render_stereo(i)[1]  # noqa: E731
         stamps = [i / 30.0 for i in range(n)]
         gt_path = os.path.join(args.out_dir, "groundtruth.txt")
         save_trajectory_tum(gt_path, stamps, [seq.gt_pose(i) for i in range(n)])
     else:
-        from ucoslam_tpu.io.datasets import TumSequence
         from ucoslam_tpu.geometry.camera import CameraParams
-
-        tum = TumSequence.open(args.dataset)
-        cam = (
-            load_camera_yml(args.camera)
-            if args.camera
-            else CameraParams.create(500.0, 500.0, 320.0, 240.0)
+        from ucoslam_tpu.io.datasets import (
+            EurocSequence,
+            KittiSequence,
+            TumSequence,
+            dataset_preset,
+            detect_dataset_format,
         )
-        n = len(tum)
-        get_img = lambda i: tum.read_rgb(i)  # noqa: E731
-        stamps = [tum.rgb[i][0] for i in range(n)]
-        gt_path = os.path.join(args.dataset, "groundtruth.txt")
+
+        fmt = args.format or detect_dataset_format(args.dataset)
+        over, harness = dataset_preset(args.preset or fmt)
+        if over and not args.params:
+            params = params.replace(**over)
+        if harness.get("recovery"):
+            args.recovery = True
+        gt_tuple = None
+        if fmt == "euroc":
+            ds = EurocSequence.open(args.dataset, stereo=args.stereo)
+            cam = load_camera_yml(args.camera) if args.camera else ds.camera()
+            n = len(ds)
+            get_img = lambda i: ds.read(i)  # noqa: E731
+            if args.stereo and ds.files1 is not None:
+                get_right = lambda i: ds.read(i, 1)  # noqa: E731
+            stamps = list(ds.stamps)
+            gt_tuple = ds.gt
+            gt_path = os.path.join(args.out_dir, "groundtruth.txt")
+        elif fmt == "kitti":
+            gt_file = args.gt or os.path.join(args.dataset, "poses.txt")
+            ds = KittiSequence.open(args.dataset, poses_file=gt_file)
+            cam = load_camera_yml(args.camera) if args.camera else ds.camera()
+            n = len(ds)
+            get_img = lambda i: ds.read(i)  # noqa: E731
+            if args.stereo and ds.files1 is not None:
+                get_right = lambda i: ds.read(i, 1)  # noqa: E731
+            stamps = list(ds.stamps)
+            gt_tuple = ds.gt
+            gt_path = os.path.join(args.out_dir, "groundtruth.txt")
+        else:
+            tum = TumSequence.open(args.dataset)
+            cam = (
+                load_camera_yml(args.camera)
+                if args.camera
+                else CameraParams.create(500.0, 500.0, 320.0, 240.0)
+            )
+            n = len(tum)
+            get_img = lambda i: tum.read_rgb(i)  # noqa: E731
+            stamps = [tum.rgb[i][0] for i in range(n)]
+            gt_path = os.path.join(args.dataset, "groundtruth.txt")
+        if gt_tuple is not None:
+            # re-emit EuRoC/KITTI ground truth in the TUM evaluation format
+            gs, gc, gq = gt_tuple
+            with open(gt_path, "w") as f:
+                for t, c, q in zip(gs, gc, gq):
+                    f.write(
+                        f"{t:.6f} {c[0]:.6f} {c[1]:.6f} {c[2]:.6f} "
+                        f"{q[0]:.6f} {q[1]:.6f} {q[2]:.6f} {q[3]:.6f}\n"
+                    )
 
     map_path = os.path.join(args.out_dir, "map.slm")
     ckpt_path = os.path.join(args.out_dir, "lost_track.slm")
 
     # ---------------- pass 1: SLAM ----------------
+    import contextlib
+
+    from ucoslam_tpu.utils.timers import profile_trace
+
     slam = UcoSlam()
     slam.setParams(None, params, cam)
+    timers.reset()
+    trace_cm = (
+        profile_trace(os.path.join(args.out_dir, "trace"))
+        if args.profile
+        else contextlib.nullcontext()
+    )
     t0 = time.time()
     i = 0
     last_ckpt_frame = 0
     recovered = 0
-    while i < n:
-        pose = slam.process(get_img(i), fseq=i)
-        fps = (i + 1) / max(time.time() - t0, 1e-9)
-        print(f"|@# Image {i + 1}/{n} fps={fps:.2f} sig={slam.getSignatureStr()}", flush=True)
-        if args.save_every and i > 0 and i % args.save_every == 0:
-            slam.saveToFile(ckpt_path)
-            last_ckpt_frame = i
-        if (
-            args.recovery
-            and pose is None
-            and slam.map.n_keyframes > 2
-            and os.path.exists(ckpt_path)
-            and i - last_ckpt_frame > 15
-        ):
-            # rollback protocol: reload checkpoint, rewind 15 frames,
-            # tighten KF params temporarily (test_sequence.cpp:268-296)
-            slam.readFromFile(ckpt_path, cam)
-            slam._params = slam._params.replace(KFMinConfidence=0.9, KFCulling=0.9)
-            i = max(last_ckpt_frame, i - 15)
-            recovered += 1
-            continue
-        i += 1
+    with trace_cm:
+        while i < n:
+            if get_right is not None:
+                pose = slam.processStereo(get_img(i), get_right(i), fseq=i)
+            else:
+                pose = slam.process(get_img(i), fseq=i)
+            fps = (i + 1) / max(time.time() - t0, 1e-9)
+            print(
+                f"|@# Image {i + 1}/{n} fps={fps:.2f} "
+                f"sig={slam.getSignatureStr()} {timers.report()}",
+                flush=True,
+            )
+            if args.save_every and i > 0 and i % args.save_every == 0:
+                slam.saveToFile(ckpt_path)
+                last_ckpt_frame = i
+            if (
+                args.recovery
+                and pose is None
+                and slam.map.n_keyframes > 2
+                and os.path.exists(ckpt_path)
+                and i - last_ckpt_frame > 15
+            ):
+                # rollback protocol: reload checkpoint, rewind 15 frames,
+                # tighten KF params temporarily (test_sequence.cpp:268-296)
+                slam.readFromFile(ckpt_path, cam)
+                slam._params = slam._params.replace(
+                    KFMinConfidence=0.9, KFCulling=0.9
+                )
+                i = max(last_ckpt_frame, i - 15)
+                recovered += 1
+                continue
+            i += 1
     slam.waitForFinished()
     slam.globalOptimization()
     slam.saveToFile(map_path)
@@ -117,7 +211,10 @@ def main(argv=None) -> int:
     t1 = time.time()
     est_stamps, est_poses = [], []
     for i in range(n):
-        pose = slam2.process(get_img(i), fseq=i)
+        if get_right is not None:
+            pose = slam2.processStereo(get_img(i), get_right(i), fseq=i)
+        else:
+            pose = slam2.process(get_img(i), fseq=i)
         if pose is not None:
             est_stamps.append(stamps[i])
             est_poses.append(pose)

@@ -206,3 +206,343 @@ def kitti_to_tum(poses: np.ndarray, stamps=None):
     centers = poses[:, :, 3]
     quats = np.stack([_rot_to_quat(P[:, :3]) for P in poses])
     return np.asarray(stamps), centers, quats
+
+
+# ----------------------------------------------------------------------
+# EuRoC-MAV directory layout (mav0/cam{0,1}/data.csv + sensor.yaml)
+# (reference: tests/euroc_stereoRectification.cpp + test_generator_stereo.sh)
+# ----------------------------------------------------------------------
+
+
+def _parse_euroc_sensor_yaml(path: str) -> dict:
+    """Minimal reader for EuRoC sensor.yaml: intrinsics, distortion,
+    resolution, T_BS. Avoids a yaml dependency (the files are flat)."""
+    import re
+
+    out: dict = {}
+    txt = open(path).read()
+
+    def grab_list(key):
+        m = re.search(rf"{key}:\s*\[([^\]]*)\]", txt)
+        if not m:
+            return None
+        return [float(x) for x in m.group(1).replace("\n", " ").split(",")]
+
+    out["intrinsics"] = grab_list("intrinsics")  # fu fv cu cv
+    out["distortion"] = grab_list("distortion_coefficients")
+    out["resolution"] = grab_list("resolution")
+    m = re.search(r"data:\s*\[([^\]]*)\]", txt)
+    if m:
+        vals = [float(x) for x in m.group(1).replace("\n", " ").split(",")]
+        if len(vals) == 16:
+            out["T_BS"] = np.asarray(vals).reshape(4, 4)
+    return out
+
+
+@dataclass
+class EurocSequence:
+    """EuRoC-MAV sequence: `<root>/mav0/cam0` (+cam1 for stereo).
+
+    cam_info holds the parsed sensor.yaml per camera; `baseline` is the
+    cam0->cam1 distance from the T_BS extrinsics (for stereo bf).
+    """
+
+    root: str
+    stamps: np.ndarray  # (N,) seconds
+    files0: list
+    files1: list | None
+    cam_info: dict
+    gt: tuple | None  # (stamps, centers, quats)
+
+    @classmethod
+    def open(cls, root: str, stereo: bool = True) -> "EurocSequence":
+        def read_cam(cam):
+            csv = os.path.join(root, "mav0", cam, "data.csv")
+            stamps, files = [], []
+            with open(csv) as f:
+                for line in f:
+                    line = line.strip()
+                    if not line or line.startswith("#"):
+                        continue
+                    ts, fn = line.split(",")[:2]
+                    stamps.append(int(ts) * 1e-9)
+                    files.append(os.path.join(root, "mav0", cam, "data", fn.strip()))
+            return np.asarray(stamps), files
+
+        s0, f0 = read_cam("cam0")
+        info = {"cam0": _parse_euroc_sensor_yaml(
+            os.path.join(root, "mav0", "cam0", "sensor.yaml"))}
+        f1 = None
+        if stereo and os.path.exists(os.path.join(root, "mav0", "cam1", "data.csv")):
+            s1, f1_all = read_cam("cam1")
+            info["cam1"] = _parse_euroc_sensor_yaml(
+                os.path.join(root, "mav0", "cam1", "sensor.yaml"))
+            # associate cam1 frames to cam0 stamps
+            f1 = []
+            j = 0
+            for t in s0:
+                while j + 1 < len(s1) and abs(s1[j + 1] - t) <= abs(s1[j] - t):
+                    j += 1
+                f1.append(f1_all[j] if abs(s1[j] - t) < 0.005 else None)
+        gt = None
+        gtp = os.path.join(root, "mav0", "state_groundtruth_estimate0", "data.csv")
+        if os.path.exists(gtp):
+            gs, gc, gq = [], [], []
+            with open(gtp) as f:
+                for line in f:
+                    line = line.strip()
+                    if not line or line.startswith("#"):
+                        continue
+                    v = line.split(",")
+                    gs.append(int(v[0]) * 1e-9)
+                    gc.append([float(x) for x in v[1:4]])
+                    qw, qx, qy, qz = (float(x) for x in v[4:8])
+                    gq.append([qx, qy, qz, qw])
+            gt = (np.asarray(gs), np.asarray(gc), np.asarray(gq))
+        return cls(root, s0, f0, f1, info, gt)
+
+    @property
+    def baseline(self) -> float:
+        if "cam1" not in self.cam_info:
+            return 0.0
+        T0 = self.cam_info["cam0"].get("T_BS")
+        T1 = self.cam_info["cam1"].get("T_BS")
+        if T0 is None or T1 is None:
+            return 0.11  # the EuRoC rig's nominal baseline
+        return float(np.linalg.norm(T0[:3, 3] - T1[:3, 3]))
+
+    def camera(self):
+        from ucoslam_tpu.geometry.camera import CameraParams
+
+        c = self.cam_info["cam0"]
+        fu, fv, cu, cv = c["intrinsics"]
+        res = c.get("resolution") or [752, 480]
+        return CameraParams.create(
+            fu, fv, cu, cv, dist=np.asarray(c.get("distortion") or [0] * 4),
+            width=int(res[0]), height=int(res[1]), bl=self.baseline,
+        )
+
+    def __len__(self):
+        return len(self.files0)
+
+    def read(self, i: int, cam: int = 0) -> np.ndarray:
+        import cv2
+
+        path = self.files0[i] if cam == 0 else self.files1[i]
+        return cv2.imread(path, cv2.IMREAD_UNCHANGED)
+
+
+# ----------------------------------------------------------------------
+# KITTI odometry directory layout (image_0/ + times.txt + calib.txt)
+# (reference: test_generator_monocular.sh:70+ runs KITTI 00-09)
+# ----------------------------------------------------------------------
+
+
+@dataclass
+class KittiSequence:
+    """KITTI odometry sequence dir: image_0/ (+image_1), times.txt,
+    calib.txt with P0/P1 3x4 projections (baseline = -P1[0,3]/fx)."""
+
+    root: str
+    stamps: np.ndarray
+    files0: list
+    files1: list | None
+    P0: np.ndarray
+    P1: np.ndarray | None
+    gt: tuple | None
+
+    @classmethod
+    def open(cls, root: str, poses_file: str | None = None) -> "KittiSequence":
+        import glob as _glob
+
+        def imgs(sub):
+            d = os.path.join(root, sub)
+            if not os.path.isdir(d):
+                return None
+            return sorted(_glob.glob(os.path.join(d, "*.png")))
+
+        f0 = imgs("image_0") or imgs("image_2")
+        f1 = imgs("image_1") or imgs("image_3")
+        stamps = None
+        tp = os.path.join(root, "times.txt")
+        if os.path.exists(tp):
+            stamps = np.asarray([float(x) for x in open(tp).read().split()])
+        if stamps is None or (f0 and len(stamps) != len(f0)):
+            stamps = np.arange(len(f0)) * 0.1
+        P0 = P1 = None
+        cp = os.path.join(root, "calib.txt")
+        if os.path.exists(cp):
+            for line in open(cp):
+                k, _, v = line.partition(":")
+                vals = [float(x) for x in v.split()] if v.strip() else []
+                if len(vals) == 12:
+                    if k.strip() in ("P0", "P2"):
+                        P0 = np.asarray(vals).reshape(3, 4)
+                    elif k.strip() in ("P1", "P3") and P1 is None:
+                        P1 = np.asarray(vals).reshape(3, 4)
+        if P0 is None:
+            P0 = np.asarray([[718.856, 0, 607.1928, 0],
+                             [0, 718.856, 185.2157, 0], [0, 0, 1, 0]])
+        gt = None
+        if poses_file and os.path.exists(poses_file):
+            gt = kitti_to_tum(load_kitti_poses(poses_file), stamps)
+        return cls(root, stamps, f0, f1, P0, P1, gt)
+
+    def camera(self):
+        from ucoslam_tpu.geometry.camera import CameraParams
+
+        import cv2
+
+        fx, fy = self.P0[0, 0], self.P0[1, 1]
+        cx, cy = self.P0[0, 2], self.P0[1, 2]
+        bl = 0.0
+        if self.P1 is not None:
+            bl = float(-self.P1[0, 3] / fx)
+        img = cv2.imread(self.files0[0], cv2.IMREAD_UNCHANGED)
+        h, w = img.shape[:2]
+        return CameraParams.create(fx, fy, cx, cy, width=w, height=h, bl=bl)
+
+    def __len__(self):
+        return len(self.files0)
+
+    def read(self, i: int, cam: int = 0) -> np.ndarray:
+        import cv2
+
+        path = self.files0[i] if cam == 0 else self.files1[i]
+        return cv2.imread(path, cv2.IMREAD_UNCHANGED)
+
+
+# ----------------------------------------------------------------------
+# Per-suite parameter presets (test_generator_monocular.sh)
+# ----------------------------------------------------------------------
+
+
+def dataset_preset(kind: str):
+    """Per-suite Params overrides from the reference's benchmark runners
+    (test_generator_monocular.sh: KITTI `-KFMinConfidence 0.8 -KFCulling
+    0.8 -recovery` :71; EuRoC difficult `-KFMinConfidence 0.8 -KFCulling
+    0.9` :22-34; TUM runs defaults). Returns (params_overrides, harness)."""
+    kind = kind.lower()
+    if kind == "kitti":
+        return {"KFMinConfidence": 0.8, "KFCulling": 0.8}, {"recovery": True}
+    if kind in ("euroc", "euroc_difficult"):
+        if kind == "euroc_difficult":
+            return {"KFMinConfidence": 0.8, "KFCulling": 0.9}, {}
+        return {}, {}
+    if kind == "spm":
+        return {"aruco_markerSize": 0.165,
+                "aruco_CornerRefimentMethod": "CORNER_LINES"}, {}
+    return {}, {}
+
+
+def detect_dataset_format(root: str) -> str:
+    """Sniff a dataset directory: 'euroc' | 'kitti' | 'tum'."""
+    if os.path.exists(os.path.join(root, "mav0", "cam0", "data.csv")):
+        return "euroc"
+    if os.path.isdir(os.path.join(root, "image_0")) or os.path.isdir(
+        os.path.join(root, "image_2")
+    ):
+        return "kitti"
+    return "tum"
+
+
+# ----------------------------------------------------------------------
+# Synthetic writers (exercise the real loaders without network access)
+# ----------------------------------------------------------------------
+
+
+def write_synthetic_euroc(seq, root: str, stereo: bool = True) -> None:
+    """Render a SyntheticSequence into EuRoC mav0/ layout."""
+    import cv2
+
+    for cam in ["cam0"] + (["cam1"] if stereo else []):
+        os.makedirs(os.path.join(root, "mav0", cam, "data"), exist_ok=True)
+    gt_dir = os.path.join(root, "mav0", "state_groundtruth_estimate0")
+    os.makedirs(gt_dir, exist_ok=True)
+    rows0, rows1, gt_rows = [], [], []
+    for i in range(seq.n_frames):
+        ns = int(i / 20.0 * 1e9)
+        if stereo:
+            left, right = seq.render_stereo(i)
+        else:
+            left, right = seq.render(i), None
+        fn = f"{ns}.png"
+        cv2.imwrite(
+            os.path.join(root, "mav0", "cam0", "data", fn),
+            np.clip(left, 0, 255).astype(np.uint8),
+        )
+        rows0.append(f"{ns},{fn}")
+        if right is not None:
+            cv2.imwrite(
+                os.path.join(root, "mav0", "cam1", "data", fn),
+                np.clip(right, 0, 255).astype(np.uint8),
+            )
+            rows1.append(f"{ns},{fn}")
+        T = seq.gt_pose(i)
+        c = -T[:3, :3].T @ T[:3, 3]
+        q = _rot_to_quat(T[:3, :3].T)  # (qx qy qz qw)
+        gt_rows.append(
+            f"{ns},{c[0]},{c[1]},{c[2]},{q[3]},{q[0]},{q[1]},{q[2]}"
+            ",0,0,0,0,0,0,0,0,0"
+        )
+    fx, fy = float(seq.cam.fx), float(seq.cam.fy)
+    cx, cy = float(seq.cam.cx), float(seq.cam.cy)
+    w, h = seq.cam.width, seq.cam.height
+    for cam, rows, xoff in (("cam0", rows0, 0.0), ("cam1", rows1, -seq.cam.bl)):
+        if cam == "cam1" and not stereo:
+            continue
+        with open(os.path.join(root, "mav0", cam, "data.csv"), "w") as f:
+            f.write("#timestamp [ns],filename\n" + "\n".join(rows) + "\n")
+        with open(os.path.join(root, "mav0", cam, "sensor.yaml"), "w") as f:
+            f.write(
+                "sensor_type: camera\n"
+                "T_BS:\n  cols: 4\n  rows: 4\n"
+                f"  data: [1.0, 0.0, 0.0, {xoff}, 0.0, 1.0, 0.0, 0.0, "
+                "0.0, 0.0, 1.0, 0.0, 0.0, 0.0, 0.0, 1.0]\n"
+                f"resolution: [{w}, {h}]\n"
+                "camera_model: pinhole\n"
+                f"intrinsics: [{fx}, {fy}, {cx}, {cy}]\n"
+                "distortion_model: radial-tangential\n"
+                "distortion_coefficients: [0.0, 0.0, 0.0, 0.0]\n"
+            )
+    with open(os.path.join(gt_dir, "data.csv"), "w") as f:
+        f.write("#timestamp,p,q,...\n" + "\n".join(gt_rows) + "\n")
+
+
+def write_synthetic_kitti(seq, root: str, stereo: bool = True) -> None:
+    """Render a SyntheticSequence into KITTI odometry layout."""
+    import cv2
+
+    os.makedirs(os.path.join(root, "image_0"), exist_ok=True)
+    if stereo:
+        os.makedirs(os.path.join(root, "image_1"), exist_ok=True)
+    times, pose_rows = [], []
+    for i in range(seq.n_frames):
+        if stereo:
+            left, right = seq.render_stereo(i)
+        else:
+            left, right = seq.render(i), None
+        cv2.imwrite(
+            os.path.join(root, "image_0", f"{i:06d}.png"),
+            np.clip(left, 0, 255).astype(np.uint8),
+        )
+        if right is not None:
+            cv2.imwrite(
+                os.path.join(root, "image_1", f"{i:06d}.png"),
+                np.clip(right, 0, 255).astype(np.uint8),
+            )
+        times.append(f"{i * 0.1:.6e}")
+        T = seq.gt_pose(i)
+        Tc2w = np.linalg.inv(np.vstack([T[:3], [0, 0, 0, 1]]))
+        pose_rows.append(" ".join(f"{x:.6e}" for x in Tc2w[:3].reshape(-1)))
+    with open(os.path.join(root, "times.txt"), "w") as f:
+        f.write("\n".join(times) + "\n")
+    fx, fy = float(seq.cam.fx), float(seq.cam.fy)
+    cx, cy = float(seq.cam.cx), float(seq.cam.cy)
+    with open(os.path.join(root, "calib.txt"), "w") as f:
+        f.write(
+            f"P0: {fx} 0 {cx} 0 0 {fy} {cy} 0 0 0 1 0\n"
+            f"P1: {fx} 0 {cx} {-fx * seq.cam.bl} 0 {fy} {cy} 0 0 0 1 0\n"
+        )
+    with open(os.path.join(root, "poses.txt"), "w") as f:
+        f.write("\n".join(pose_rows) + "\n")
