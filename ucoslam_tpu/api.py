@@ -95,27 +95,78 @@ class UcoSlam:
 
     # -- persistence (ucoslam.cpp:41, map.cpp:339) ----------------------
     def saveToFile(self, path: str) -> None:
+        """Full session checkpoint: map + motion model + counters + BoW
+        keyframe database + extractor sensitivity (the reference
+        serializes all of System/MapManager/KFDataBase/FrameExtractor,
+        system.cpp:2865-3102, mapmanager.cpp:11425-12120)."""
         self._system.wait_for_finished()
+        sysd = self._system
         meta = {
-            "pose": None if self._system.pose is None else self._system.pose.tolist(),
-            "kf_counter": self._system.manager.kf_counter,
-            "last_kf_inliers": self._system.last_kf_inliers,
+            "pose": None if sysd.pose is None else sysd.pose.tolist(),
+            "prev_pose": None if sysd.prev_pose is None else sysd.prev_pose.tolist(),
+            "velocity": sysd.velocity.tolist(),
+            "state": int(sysd.state),
+            "mode": int(sysd.mode),
+            "frames_since_kf": sysd.frames_since_kf,
+            "kf_counter": sysd.manager.kf_counter,
+            "last_kf_inliers": sysd.last_kf_inliers,
+            "kfdb_dummy": sysd.manager.kfdb.dummy,
+            "fast_threshold": getattr(
+                self._extractor.orb, "fast_threshold", None
+            ) if self._extractor is not None else None,
         }
-        save_map(self._map, path, extra_meta=meta)
+        kfdb = sysd.manager.kfdb
+        arrays = {
+            "kfdb_vectors": np.asarray(kfdb.vectors),
+            "kfdb_vocab": np.asarray(kfdb.vocab),
+        }
+        if kfdb.weights is not None:
+            arrays["kfdb_weights"] = np.asarray(kfdb.weights)
+        save_map(self._map, path, extra_meta=meta, extra_arrays=arrays)
 
     def readFromFile(self, path: str, cam: CameraParams) -> None:
-        from ucoslam_tpu.io.serialize import load_map_meta
+        from ucoslam_tpu.config import Mode, TrackingState
+        from ucoslam_tpu.io.serialize import load_map_extra_arrays, load_map_meta
+
+        import jax.numpy as jnp
 
         self._map = load_map(path)
         self._params = self._map.params
-        self._system = System(self._params, cam, self._map)
-        self._extractor = FrameExtractor(self._params, cam)
+        arrays = load_map_extra_arrays(path)
         meta = load_map_meta(path).get("extra", {})
+        if "kfdb_vectors" in arrays:
+            # restore the serialized BoW database instead of re-deriving it
+            # from the keyframes (load cost stays O(size of table))
+            from ucoslam_tpu.mapping.kfdatabase import KeyFrameDataBase
+
+            kfdb = KeyFrameDataBase(
+                arrays["kfdb_vectors"].shape[0],
+                vocab=jnp.asarray(arrays["kfdb_vocab"]),
+                weights=(
+                    jnp.asarray(arrays["kfdb_weights"])
+                    if "kfdb_weights" in arrays
+                    else None
+                ),
+                dummy=bool(meta.get("kfdb_dummy", False)),
+            )
+            kfdb.vectors = jnp.asarray(arrays["kfdb_vectors"])
+        else:
+            kfdb = None
+        self._system = System(self._params, cam, self._map, kfdb=kfdb)
+        self._extractor = FrameExtractor(self._params, cam)
+        if meta.get("fast_threshold") is not None and hasattr(
+            self._extractor.orb, "fast_threshold"
+        ):
+            self._extractor.orb.fast_threshold = float(meta["fast_threshold"])
         if meta.get("pose") is not None:
             self._system.pose = np.asarray(meta["pose"], np.float32)
-            from ucoslam_tpu.config import TrackingState
-
-            self._system.state = TrackingState.TRACKING
+            self._system.state = TrackingState(meta.get("state", 0))
+        if meta.get("prev_pose") is not None:
+            self._system.prev_pose = np.asarray(meta["prev_pose"], np.float32)
+        if meta.get("velocity") is not None:
+            self._system.velocity = np.asarray(meta["velocity"], np.float32)
+        self._system.frames_since_kf = meta.get("frames_since_kf", 0)
+        self._system.mode = Mode(meta.get("mode", 0))
         self._system.manager.kf_counter = meta.get("kf_counter", self._map.n_keyframes)
         self._system.last_kf_inliers = meta.get("last_kf_inliers", 0)
 

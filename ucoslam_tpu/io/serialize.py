@@ -24,7 +24,16 @@ MAGIC = 225237123  # same magic as the reference map files (map.cpp:342)
 FORMAT_VERSION = 1
 
 
-def save_map(world_map: Map, path: str, extra_meta: dict | None = None) -> None:
+def save_map(
+    world_map: Map,
+    path: str,
+    extra_meta: dict | None = None,
+    extra_arrays: dict | None = None,
+) -> None:
+    """`extra_meta` (JSON) and `extra_arrays` (npz under extra/) carry the
+    session state the reference serializes beyond the map itself
+    (system.cpp:2865-3102: motion model, counters, KF database, extractor
+    config)."""
     meta = {
         "magic": MAGIC,
         "version": FORMAT_VERSION,
@@ -37,6 +46,8 @@ def save_map(world_map: Map, path: str, extra_meta: dict | None = None) -> None:
     arrays["arena/points"] = world_map.points.active
     arrays["arena/keyframes"] = world_map.keyframes.active
     arrays["arena/markers"] = world_map.markers.active
+    for k, v in (extra_arrays or {}).items():
+        arrays[f"extra/{k}"] = np.asarray(v)
     buf = io.BytesIO()
     np.savez_compressed(buf, **arrays)
     with zipfile.ZipFile(path, "w", zipfile.ZIP_STORED) as z:
@@ -69,3 +80,12 @@ def load_map(path: str) -> Map:
 def load_map_meta(path: str) -> dict:
     with zipfile.ZipFile(path) as z:
         return json.loads(z.read("meta.json"))
+
+
+def load_map_extra_arrays(path: str) -> dict:
+    """Session-state arrays stored under extra/ (empty for map-only files)."""
+    with zipfile.ZipFile(path) as z:
+        npz = np.load(io.BytesIO(z.read("arrays.npz")))
+        return {
+            k.split("/", 1)[1]: npz[k] for k in npz.files if k.startswith("extra/")
+        }

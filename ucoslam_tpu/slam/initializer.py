@@ -236,6 +236,9 @@ class MapInitializer:
         if self.ref_frame is None:
             return "no_ref", frame
         ref = self.ref_frame
+        # looser ratio than tracking's 0.8: with only two wide-baseline
+        # views the second-best is often a true neighbour on the epipolar
+        # line, and H/F RANSAC downstream rejects the extra outliers
         matches = match_frames(
             ref, frame, jnp.float32(self.params.maxDescDistance), nn_ratio=0.9
         )
