@@ -60,27 +60,30 @@ def test_translation_repeatability(orb, img):
 
 
 def test_rotation_invariance(orb):
+    """rBRIEF match-RATE gate across +/-30 deg in-plane rotation: the
+    steered descriptors must re-match a rotated view of the same texture
+    at a healthy rate, not just produce a handful of survivors."""
     cv2 = pytest.importorskip("cv2")
     img = synthetic_texture(256, 256, seed=5)
-    angle = 30.0
-    M = cv2.getRotationMatrix2D((128, 128), angle, 1.0)
-    img2 = cv2.warpAffine(img, M, (256, 256))
     k1 = orb.detect_and_compute(jnp.asarray(img))
-    k2 = orb.detect_and_compute(jnp.asarray(img2))
-    d = hamming_matrix(k1.desc, k2.desc)
-    idx, best, second = match_best2(d, valid_rows=k1.valid, valid_cols=k2.valid)
-    good = (np.asarray(best) < 60) & (np.asarray(best) < 0.8 * np.asarray(second))
-    # check matched positions against ground-truth rotation
     x1 = np.asarray(k1.xy)
-    x2 = np.asarray(k2.xy)[np.asarray(idx)]
-    x1h = np.concatenate([x1, np.ones((len(x1), 1))], 1)
-    pred = x1h @ M.T
-    err = np.linalg.norm(pred - x2, axis=1)
-    inlier = good & (err < 3.0)
-    # central region only (rotation clips borders)
-    central = np.linalg.norm(x1 - 128.0, axis=1) < 90
-    got = inlier[central].sum()
-    assert got > 30, f"only {got} rotation-consistent matches"
+    central = (np.linalg.norm(x1 - 128.0, axis=1) < 90) & np.asarray(k1.valid)
+    for angle in (30.0, -30.0):
+        M = cv2.getRotationMatrix2D((128, 128), angle, 1.0)
+        img2 = cv2.warpAffine(img, M, (256, 256))
+        k2 = orb.detect_and_compute(jnp.asarray(img2))
+        d = hamming_matrix(k1.desc, k2.desc)
+        idx, best, second = match_best2(d, valid_rows=k1.valid, valid_cols=k2.valid)
+        good = (np.asarray(best) < 60) & (
+            np.asarray(best) < 0.8 * np.asarray(second)
+        )
+        # matched position must agree with the ground-truth rotation
+        x2 = np.asarray(k2.xy)[np.asarray(idx)]
+        x1h = np.concatenate([x1, np.ones((len(x1), 1))], 1)
+        err = np.linalg.norm(x1h @ M.T - x2, axis=1)
+        inlier = good & (err < 3.0)
+        rate = inlier[central].sum() / max(central.sum(), 1)
+        assert rate > 0.25, f"rotation {angle}: match rate {rate:.3f}"
 
 
 def test_determinism(orb, img):

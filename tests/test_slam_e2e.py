@@ -210,11 +210,14 @@ class TestRenderModeE2E:
     in-repo equivalent of the reference's video benchmark protocol."""
 
     def test_render_sequence_ate(self):
+        """Adversarial imagery: rotated textured quads + camera roll +
+        brightness drift, 24 frames — tracked >= 75%, ATE < 0.08 (round-1
+        gate was 16 easy frames / 60% / 0.15)."""
         from ucoslam_tpu.api import UcoSlam
 
         seq = SyntheticSequence(
-            n_frames=16, seed=13, n_points=700, n_kpt_slots=512,
-            motion_scale=0.6,
+            n_frames=24, seed=13, n_points=700, n_kpt_slots=512,
+            motion_scale=0.6, roll_deg=12.0, brightness_drift=0.15,
         )
         params = PARAMS.replace(
             maxKeyPointsPerFrame=512, nOctaveLevels=4, detectMarkers=False,
@@ -226,9 +229,7 @@ class TestRenderModeE2E:
             pose = slam.process(seq.render(i), fseq=i)
             if pose is not None:
                 poses[i] = pose
-        assert len(poses) >= 0.6 * seq.n_frames, f"tracked {len(poses)}"
+        assert len(poses) >= 0.75 * seq.n_frames, f"tracked {len(poses)}"
         idx, est = centers_of(poses)
         ate = ate_rmse(est, seq.gt_positions()[idx], with_scale=True)
-        # image-pipeline gate is looser than oracle mode: descriptor and
-        # corner localization noise are real here
-        assert ate < 0.15, f"render-mode ATE {ate}"
+        assert ate < 0.08, f"render-mode ATE {ate}"
