@@ -1,29 +1,35 @@
-"""Single-chip benchmark: SLAM frame pipeline throughput on TPU.
+"""Single-chip benchmark: SLAM pipeline throughput on TPU.
 
-Measures the two per-frame hot stages at production sizes and reports the
-end-to-end frames/sec/chip:
+Measures the per-frame hot stages at production sizes plus the global-BA
+optimizer (the BASELINE.md north stars measurable on one chip):
   - ORB frontend: 640x480, 8 pyramid levels, 2048 keypoints + descriptors
   - tracking step: 16384-point map x 2048-keypoint frame projection
-    matching (dense Hamming + gates) and 4x10-iteration motion-only LM
+    matching (fused Pallas kernel on TPU) and 4x10-iteration motion-only LM
+  - global BA: Schur-complement LM over 128 keyframes / 16384 points /
+    131072 observations -> LM iterations per second
+  - sharded-BA dry-run overhead on an 8-virtual-device CPU mesh (weak
+    scaling is NOT wall-clock-meaningful on this 2-core host; real ICI
+    scaling efficiency needs a pod slice — this records the collective +
+    reshard overhead of the production sharded path)
 
 Baseline: the reference (UcoSLAM 1.0.7, C++/AVX/OpenMP) advertises
 real-time operation and publishes no numbers (BASELINE.md); the canonical
 real-time budget for its benchmark suites is 30 fps camera rate, so
 vs_baseline = fps / 30.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "detail"}.
 """
 
 import json
+import os
+import subprocess
+import sys
 import time
 
 import numpy as np
 
 
-def main():
-    import jax
-    import jax.numpy as jnp
-
+def bench_frame_pipeline(jax, jnp):
     from ucoslam_tpu.config import Params
     from ucoslam_tpu.features.orb import ORBExtractor
     from ucoslam_tpu.geometry.camera import CameraParams
@@ -32,7 +38,6 @@ def main():
     from ucoslam_tpu.mapping.map import Map
     from ucoslam_tpu.slam.tracker import _track_step
 
-    dev = jax.devices()[0]
     rng = np.random.default_rng(0)
 
     # ---------- ORB frontend ----------
@@ -74,6 +79,167 @@ def main():
         out = _track_step(*args)
     out[0].block_until_ready()
     t_track = (time.perf_counter() - t0) / n_rep
+    return t_extract, t_track, int(out[4])
+
+
+def _make_ba_problem(jnp, n_kf=128, n_pt=16384, obs_per_pt=8):
+    """Production-scale synthetic BA problem (sliding-window visibility)."""
+    from ucoslam_tpu.geometry import se3_exp
+    from ucoslam_tpu.geometry.camera import CameraParams
+    from ucoslam_tpu.optim.ba import BAProblem
+
+    cam = CameraParams.create(500.0, 500.0, 320.0, 240.0)
+    rng = np.random.default_rng(7)
+    X = rng.uniform(-4, 4, (n_pt, 3)).astype(np.float32)
+    X[:, 2] = rng.uniform(6, 16, n_pt)
+    poses = []
+    for k in range(n_kf):
+        xi = np.array(
+            [0.1 * np.sin(k * 0.1), 0.05 * np.cos(k * 0.13), 0.002 * k,
+             0.005 * np.sin(k * 0.2), 0.005 * np.cos(k * 0.1), 0.0],
+            np.float32,
+        )
+        poses.append(np.asarray(se3_exp(jnp.asarray(xi))))
+    poses = np.stack(poses).astype(np.float32)
+    base = (np.arange(n_pt, dtype=np.int64) * n_kf // n_pt).astype(np.int32)
+    obs_cam2 = ((base[:, None] + np.arange(obs_per_pt, dtype=np.int32)) % n_kf)
+    T = poses[obs_cam2]  # (P, MO, 4, 4)
+    Xc = np.einsum("pmij,pj->pmi", T[:, :, :3, :3], X) + T[:, :, :3, 3]
+    uv = np.stack(
+        [500.0 * Xc[..., 0] / Xc[..., 2] + 320.0,
+         500.0 * Xc[..., 1] / Xc[..., 2] + 240.0], -1
+    ).astype(np.float32)
+    uv += rng.normal(0, 0.5, uv.shape).astype(np.float32)
+
+    O = n_pt * obs_per_pt
+    poses_init = poses.copy()
+    xi_n = rng.normal(0, 0.01, (n_kf, 6)).astype(np.float32)
+    for k in range(1, n_kf):
+        poses_init[k] = np.asarray(se3_exp(jnp.asarray(xi_n[k]))) @ poses[k]
+    X_init = X + rng.normal(0, 0.05, X.shape).astype(np.float32)
+    problem = BAProblem(
+        cam_pose=jnp.asarray(poses_init),
+        cam_fixed=jnp.asarray(np.arange(n_kf) == 0),
+        cam_valid=jnp.ones(n_kf, bool),
+        pt_pos=jnp.asarray(X_init),
+        pt_valid=jnp.ones(n_pt, bool),
+        obs_cam=jnp.asarray(obs_cam2.reshape(-1)),
+        obs_pt=jnp.asarray(np.repeat(np.arange(n_pt, dtype=np.int32), obs_per_pt)),
+        obs_uv=jnp.asarray(uv.reshape(O, 2)),
+        obs_sigma2=jnp.ones(O),
+        obs_depth=jnp.zeros(O, jnp.float32),
+        obs_valid=jnp.ones(O, bool),
+        pt_obs=jnp.asarray(np.arange(O, dtype=np.int32).reshape(n_pt, obs_per_pt)),
+        bf=jnp.float32(50.0),
+    )
+    return problem, cam
+
+
+def bench_global_ba(jax, jnp):
+    """Global-BA LM iterations/sec at 128 KF x 16k pts x 131k obs."""
+    from ucoslam_tpu.optim.ba import ba_solve
+
+    problem, cam = _make_ba_problem(jnp)
+    lo, hi = 4, 24
+    r = ba_solve(problem, cam, iters=lo, stages=1)
+    r.cam_pose.block_until_ready()  # compile iters=lo
+    r = ba_solve(problem, cam, iters=hi, stages=1)
+    r.cam_pose.block_until_ready()  # compile iters=hi
+    t0 = time.perf_counter()
+    r = ba_solve(problem, cam, iters=lo, stages=1)
+    r.cam_pose.block_until_ready()
+    t_lo = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    r = ba_solve(problem, cam, iters=hi, stages=1)
+    r.cam_pose.block_until_ready()
+    t_hi = time.perf_counter() - t0
+    t_iter = (t_hi - t_lo) / (hi - lo)  # marginal cost per LM iteration
+    converged = float(np.asarray(r.cost_history)[-1]) < float(
+        np.asarray(r.cost_history)[0]
+    )
+    return {
+        "ba_iters_per_sec": round(1.0 / max(t_iter, 1e-9), 2),
+        "ba_t_iter_ms": round(t_iter * 1e3, 3),
+        "ba_problem": "128kf x 16384pt x 131072obs",
+        "ba_cost_decreased": bool(converged),
+    }
+
+
+_SCALING_SCRIPT = r"""
+import os
+os.environ["PALLAS_AXON_POOL_IPS"] = ""
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = os.environ.get("XLA_FLAGS", "") + \
+    " --xla_force_host_platform_device_count=8"
+import json, time
+import numpy as np
+import jax, jax.numpy as jnp
+# the axon sitecustomize (already run at interpreter startup) may have
+# force-set jax_platforms; pin CPU explicitly or this child grabs the
+# parent's TPU tunnel
+jax.config.update("jax_platforms", "cpu")
+from bench import _make_ba_problem
+from ucoslam_tpu.optim.ba import ba_solve
+from ucoslam_tpu.parallel import make_mesh, shard_ba_problem, sharded_ba_solve
+
+problem, cam = _make_ba_problem(jnp, n_kf=16, n_pt=1024, obs_per_pt=6)
+
+
+def timed(fn):
+    fn()  # compile
+    t0 = time.perf_counter(); fn(); return time.perf_counter() - t0
+
+
+def sharded(n):
+    mesh = make_mesh(n)
+    prob = shard_ba_problem(problem, n)
+    return timed(lambda: sharded_ba_solve(prob, cam, mesh, iters=5, stages=1)
+                 .cam_pose.block_until_ready())
+
+
+t1 = timed(lambda: ba_solve(problem, cam, iters=5, stages=1)
+           .cam_pose.block_until_ready())
+t8 = sharded(8)
+print(json.dumps({
+    "sharded_dryrun": {
+        "t_single_cpu_s": round(t1, 4),
+        "t_sharded8_virtualcpu_s": round(t8, 4),
+        "note": "8 virtual devices on a 2-core CPU host exercise the "
+                "production sharded path end-to-end but carry XLA-CPU "
+                "collective/runtime overhead; ICI scaling efficiency "
+                "needs real chips (apps/bench_scaling.py)",
+    }
+}))
+"""
+
+
+def bench_sharded_overhead():
+    """Run the 8-virtual-device sharded BA in a CPU subprocess and report
+    its overhead vs single-device on the same problem. NOT a scaling
+    number (2 CPU cores, virtual devices timeshare) — it bounds the
+    collective/reshard cost of the production sharded path."""
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)
+    try:
+        out = subprocess.run(
+            [sys.executable, "-c", _SCALING_SCRIPT],
+            capture_output=True, text=True, timeout=360, env=env,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        )
+        line = out.stdout.strip().splitlines()[-1]
+        return json.loads(line)
+    except Exception as e:  # noqa: BLE001 — bench must not die on the aux metric
+        return {"sharded_overhead_error": str(e)[:200]}
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    dev = jax.devices()[0]
+    t_extract, t_track, n_inliers = bench_frame_pipeline(jax, jnp)
+    ba = bench_global_ba(jax, jnp)
+    sharded = bench_sharded_overhead()
 
     fps = 1.0 / (t_extract + t_track)
     result = {
@@ -84,8 +250,10 @@ def main():
         "detail": {
             "t_extract_ms": round(t_extract * 1e3, 3),
             "t_track_ms": round(t_track * 1e3, 3),
-            "n_inliers": int(out[4]),
+            "n_inliers": n_inliers,
             "device": str(dev),
+            **ba,
+            **sharded,
         },
     }
     print(json.dumps(result))

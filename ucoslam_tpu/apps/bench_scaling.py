@@ -1,0 +1,82 @@
+"""Multi-device BA scaling benchmark (BASELINE.md north star: >= 0.75
+scaling efficiency 1 -> N).
+
+Runs the production sharded Schur solver on meshes of 1, 2, ..., N local
+devices with CONSTANT PER-DEVICE LOAD (weak scaling: points and
+observations grow with the mesh) and reports per-LM-iteration time and
+efficiency vs the single-device baseline.
+
+On this environment only virtual CPU meshes exist (wall-clock efficiency
+is bounded by physical cores); on a real pod slice run:
+
+  python -m ucoslam_tpu.apps.bench_scaling --points-per-device 8192
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def main(argv=None) -> int:
+    import jax
+    import numpy as np
+    import jax.numpy as jnp
+
+    from bench import _make_ba_problem  # repo-root bench problem generator
+
+    from ucoslam_tpu.parallel import make_mesh, shard_ba_problem, sharded_ba_solve
+    from ucoslam_tpu.optim.ba import ba_solve
+
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--points-per-device", type=int, default=4096)
+    ap.add_argument("--keyframes", type=int, default=64)
+    ap.add_argument("--obs-per-point", type=int, default=8)
+    ap.add_argument("--iters", type=int, default=10)
+    args = ap.parse_args(argv)
+
+    devs = len(jax.devices())
+    sizes = [n for n in (1, 2, 4, 8, 16, 32, 64) if n <= devs]
+    rows = []
+    t1_iter = None
+    for n in sizes:
+        problem, cam = _make_ba_problem(
+            jnp,
+            n_kf=args.keyframes,
+            n_pt=args.points_per_device * n,
+            obs_per_pt=args.obs_per_point,
+        )
+        if n == 1:
+            solve = lambda: ba_solve(  # noqa: E731
+                problem, cam, iters=args.iters, stages=1
+            ).cam_pose.block_until_ready()
+        else:
+            mesh = make_mesh(n)
+            sharded = shard_ba_problem(problem, n)
+            solve = lambda: sharded_ba_solve(  # noqa: E731
+                sharded, cam, mesh, iters=args.iters, stages=1
+            ).cam_pose.block_until_ready()
+        solve()  # compile
+        t0 = time.perf_counter()
+        solve()
+        dt = (time.perf_counter() - t0) / args.iters
+        if n == 1:
+            t1_iter = dt
+        eff = t1_iter / dt if t1_iter else float("nan")
+        rows.append(
+            {
+                "devices": n,
+                "points": args.points_per_device * n,
+                "t_iter_ms": round(dt * 1e3, 3),
+                "weak_scaling_efficiency": round(eff, 3),
+            }
+        )
+        print(json.dumps(rows[-1]), flush=True)
+    print(json.dumps({"metric": "ba_weak_scaling", "rows": rows}))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
