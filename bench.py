@@ -28,6 +28,20 @@ import time
 
 import numpy as np
 
+# Persistent compilation cache: first compile of the production-sized ORB +
+# BA programs costs minutes on this platform; cached runs take seconds.
+_CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+
+
+def _enable_compile_cache(jax):
+    try:
+        os.makedirs(_CACHE_DIR, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    except Exception:
+        pass  # cache is an optimization; never fail the bench over it
+
 
 def bench_frame_pipeline(jax, jnp):
     from ucoslam_tpu.config import Params
@@ -178,7 +192,8 @@ import jax, jax.numpy as jnp
 # force-set jax_platforms; pin CPU explicitly or this child grabs the
 # parent's TPU tunnel
 jax.config.update("jax_platforms", "cpu")
-from bench import _make_ba_problem
+from bench import _make_ba_problem, _enable_compile_cache
+_enable_compile_cache(jax)
 from ucoslam_tpu.optim.ba import ba_solve
 from ucoslam_tpu.parallel import make_mesh, shard_ba_problem, sharded_ba_solve
 
@@ -236,6 +251,7 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    _enable_compile_cache(jax)
     dev = jax.devices()[0]
     t_extract, t_track, n_inliers = bench_frame_pipeline(jax, jnp)
     ba = bench_global_ba(jax, jnp)
