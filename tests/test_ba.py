@@ -310,3 +310,54 @@ class TestMarkerVertices:
         global_bundle_adjustment(m, CAM, n_iters=10)
         after = np.asarray(m.state.mk_pose)[:2]
         assert not np.allclose(before, after)  # vertices were free and moved
+
+
+class TestCGSolver:
+    """Matrix-free PCG Schur path (the at-scale solver) vs exact dense."""
+
+    def _with_table(self, problem):
+        from ucoslam_tpu.optim.ba import _build_cam_obs
+
+        oc = np.asarray(problem.obs_cam)
+        return problem._replace(
+            cam_obs=jnp.asarray(
+                _build_cam_obs(oc, problem.cam_pose.shape[0], len(oc))
+            )
+        )
+
+    def test_cg_matches_dense(self):
+        problem, poses_true, X = make_problem(n_kf=8, n_pt=200, pose_noise=0.03)
+        problem = self._with_table(problem)
+        rd = ba_solve(problem, CAM, iters=12, stages=1, solver="dense")
+        rc = ba_solve(problem, CAM, iters=12, stages=1, solver="cg", cg_iters=40)
+        assert np.asarray(rc.cost_history)[-1] < np.asarray(rc.cost_history)[0]
+        assert float(jnp.abs(rd.cam_pose - rc.cam_pose).max()) < 2e-3
+        assert float(jnp.abs(rd.pt_pos - rc.pt_pos).max()) < 2e-2
+
+    def test_cg_with_stereo_and_outliers(self):
+        problem, poses_true, X = make_problem(
+            n_kf=6, n_pt=150, depth_frac=0.4, outlier_frac=0.05
+        )
+        problem = self._with_table(problem)
+        rc = ba_solve(problem, CAM, iters=15, stages=2, solver="cg")
+        bad = np.asarray(rc.obs_bad)
+        assert bad.any()  # outliers flagged
+        from ucoslam_tpu.geometry import ate_rmse
+
+        ate = ate_rmse(centers(np.asarray(rc.cam_pose)), centers(poses_true))
+        assert ate < 5e-3, ate
+
+    def test_build_ba_problem_emits_cam_obs(self):
+        m, _, _, _ = TestMapIntegration()._build_map()
+        problem, kf_slots, pt_slots, _ = build_ba_problem(m, CAM)
+        assert problem.cam_obs is not None
+        co = np.asarray(problem.cam_obs)
+        oc = np.asarray(problem.obs_cam)
+        # every valid obs appears exactly once in its camera's row
+        O = int(np.asarray(problem.obs_valid).sum())
+        listed = co[co >= 0]
+        assert len(listed) == O
+        assert np.array_equal(np.sort(listed), np.sort(np.nonzero(np.asarray(problem.obs_valid))[0]))
+        for c in range(min(4, len(co))):
+            row = co[c][co[c] >= 0]
+            assert (oc[row] == c).all()

@@ -135,3 +135,21 @@ def test_shard_problem_preserves_observations(mesh):
     entries = tbl[tbl >= 0]
     assert len(entries) == len(set(entries.tolist()))
     assert set(entries.tolist()) == set(np.nonzero(v)[0].tolist())
+
+
+def test_sharded_cg_matches_single(mesh):
+    """The at-scale CG path under shard_map: one (V, 6) psum per CG iter."""
+    from ucoslam_tpu.geometry import ate_rmse
+
+    problem, poses_true, X = make_problem(n_kf=6, n_pt=160, noise_px=0.3)
+    sharded = shard_ba_problem(problem, 8)
+    res_sh = sharded_ba_solve(
+        sharded, CAM, mesh, iters=12, stages=1, solver="cg", cg_iters=40
+    )
+    costs = np.asarray(res_sh.cost_history)
+    assert costs[-1] < costs[0]
+    res = ba_solve(problem, CAM, iters=12, stages=1, solver="dense")
+    ate = ate_rmse(
+        centers(np.asarray(res.cam_pose)), centers(np.asarray(res_sh.cam_pose))
+    )
+    assert ate < 2e-3, f"sharded-CG vs single-dense disagreement {ate}"

@@ -1,0 +1,250 @@
+"""Head-to-head parity: reference UcoSLAM (C++) vs ucoslam_tpu on
+identical rendered sequences.
+
+Renders synthetic sequences to disk, runs BOTH engines over the same
+images with the same camera calibration, scores each trajectory against
+ground truth with the same Horn-1987 ATE semantics as the reference
+(tests/logtools.cpp:153,291), and writes PARITY.md.
+
+Usage:
+    python tools/parity/run_parity.py [--out /tmp/parity] [--frames 150]
+        [--scenario mono|markers|stereo ...] [--update-md]
+
+The reference binary is built by tools/parity/build_ref_driver.sh into
+/tmp/refbuild/ref_driver (out-of-tree; /root/reference untouched).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, REPO)
+REF_DRIVER = os.environ.get("REF_DRIVER", "/tmp/refbuild/ref_driver")
+
+
+def write_ref_camera_yml(path, cam, bl=None):
+    """OpenCV FileStorage YML the reference ImageParams reads
+    (imageparams.cpp:132-176). bl MUST be 0 for monocular runs: a nonzero
+    baseline routes the reference into its stereo/depth init path
+    (System dispatch checks ImageParams::bl) which never initializes
+    without per-keypoint depth."""
+    fx, fy = float(cam.fx), float(cam.fy)
+    cx, cy = float(cam.cx), float(cam.cy)
+    if bl is None:
+        bl = 0.0
+    with open(path, "w") as f:
+        f.write(
+            "%YAML:1.0\n---\n"
+            f"image_width: {cam.width}\n"
+            f"image_height: {cam.height}\n"
+            "camera_matrix: !!opencv-matrix\n"
+            "   rows: 3\n   cols: 3\n   dt: f\n"
+            f"   data: [ {fx}, 0., {cx}, 0., {fy}, {cy}, 0., 0., 1. ]\n"
+            "distortion_coefficients: !!opencv-matrix\n"
+            "   rows: 1\n   cols: 5\n   dt: f\n"
+            "   data: [ 0., 0., 0., 0., 0. ]\n"
+            f"baseline: {float(bl)}\n"
+        )
+
+
+def write_tpu_camera_yml(path, cam):
+    with open(path, "w") as f:
+        f.write(
+            f"fx: {float(cam.fx)}\nfy: {float(cam.fy)}\n"
+            f"cx: {float(cam.cx)}\ncy: {float(cam.cy)}\n"
+            f"width: {cam.width}\nheight: {cam.height}\nbl: {float(cam.bl)}\n"
+        )
+
+
+def evaluate(est, gt, with_scale=True):
+    from ucoslam_tpu.apps.compare_logs import evaluate as ev
+
+    out = ev(est, gt, with_scale)
+    if out is None:
+        return float("nan"), 0.0
+    return out[0], out[1]
+
+
+def run_ref(dataset, camyml, out_prefix, extra):
+    t0 = time.time()
+    subprocess.run(
+        [REF_DRIVER, dataset, camyml, out_prefix] + extra,
+        check=True, capture_output=True, timeout=3600,
+    )
+    stats = json.load(open(out_prefix + ".stats"))
+    stats["wall_s"] = time.time() - t0
+    return stats
+
+
+def run_tpu(dataset, camyml, out_dir, stereo=False, markers=False, frames=0):
+    """Run our engine through the production CLI harness (two-pass)."""
+    from ucoslam_tpu.apps import test_sequence
+
+    argv = ["--dataset", dataset, "--out-dir", out_dir, "--camera", camyml]
+    if stereo:
+        argv += ["--stereo", "--format", "euroc"]
+    else:
+        argv += ["--format", "tum"]
+    t0 = time.time()
+    rc = test_sequence.main(argv)
+    assert rc == 0
+    return {"wall_s": time.time() - t0}
+
+
+SCENARIOS = ("mono", "markers", "stereo")
+
+
+def build_scenario(name, out, frames, seed=5):
+    """Render the sequence; -> (dataset_dir, gt_path, ref_args, tpu_kwargs, cam)."""
+    from ucoslam_tpu.io.synthetic import SyntheticSequence
+    from ucoslam_tpu.io.datasets import write_synthetic_tum, write_synthetic_euroc
+
+    root = os.path.join(out, name)
+    if name == "mono":
+        seq = SyntheticSequence(n_frames=frames, n_points=1600, seed=seed)
+        if not os.path.exists(os.path.join(root, "rgb.txt")):
+            write_synthetic_tum(seq, root)
+        return root, os.path.join(root, "groundtruth.txt"), [], {}, seq.cam
+    if name == "markers":
+        seq = SyntheticSequence(
+            n_frames=frames, n_points=1600, n_markers=10, marker_size=0.6,
+            seed=seed,
+        )
+        if not os.path.exists(os.path.join(root, "rgb.txt")):
+            write_synthetic_tum(seq, root)
+        return (
+            root,
+            os.path.join(root, "groundtruth.txt"),
+            ["-markers", "-aruco-size", "0.6"],
+            {"markers": True},
+            seq.cam,
+        )
+    if name == "stereo":
+        seq = SyntheticSequence(n_frames=frames, n_points=1600, seed=seed,
+                                depth_mode="stereo")
+        if not os.path.exists(os.path.join(root, "mav0")):
+            write_synthetic_euroc(seq, root, stereo=True)
+        gt = os.path.join(root, "gt_tum.txt")
+        if not os.path.exists(gt):
+            from ucoslam_tpu.io.datasets import save_trajectory_tum
+
+            save_trajectory_tum(
+                gt, [i / 20.0 for i in range(seq.n_frames)],
+                [seq.gt_pose(i) for i in range(seq.n_frames)],
+            )
+        return root, gt, ["-stereo"], {"stereo": True}, seq.cam
+    raise ValueError(name)
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default="/tmp/parity")
+    ap.add_argument("--frames", type=int, default=150)
+    ap.add_argument("--scenario", action="append", choices=SCENARIOS)
+    ap.add_argument("--update-md", action="store_true",
+                    help="rewrite PARITY.md in the repo root")
+    ap.add_argument("--skip-ref", action="store_true")
+    ap.add_argument("--skip-tpu", action="store_true")
+    args = ap.parse_args(argv)
+    scenarios = args.scenario or list(SCENARIOS)
+    os.makedirs(args.out, exist_ok=True)
+
+    results = {}
+    for name in scenarios:
+        print(f"=== scenario {name} ===", flush=True)
+        ds, gt, ref_extra, tpu_kwargs, cam = build_scenario(
+            name, args.out, args.frames
+        )
+        ref_cam = os.path.join(args.out, f"{name}_ref_cam.yml")
+        tpu_cam = os.path.join(args.out, f"{name}_tpu_cam.yml")
+        write_ref_camera_yml(
+            ref_cam, cam, bl=cam.bl if tpu_kwargs.get("stereo") else 0.0
+        )
+        write_tpu_camera_yml(tpu_cam, cam)
+        r = {}
+        with_scale = not tpu_kwargs.get("stereo") and not tpu_kwargs.get("markers")
+        if not args.skip_ref:
+            pre = os.path.join(args.out, f"{name}_ref")
+            st = run_ref(ds, ref_cam, pre, ref_extra)
+            # evaluate pass 2 (the protocol's evaluated trajectory); fall
+            # back to pass 1 if localization lost everything
+            est = pre + ".pass2.tum"
+            if st.get("tracked_pass2", 0) < 10:
+                est = pre + ".pass1.tum"
+            ate, pct = evaluate(est, gt, with_scale)
+            r["ref"] = {
+                "ate": ate, "tracked_pct": pct,
+                "fps": st.get("fps_pass1"), "stats": st,
+            }
+            print(f"  ref: ATE={ate:.4f} tracked={pct:.2%} "
+                  f"fps={st.get('fps_pass1'):.1f}", flush=True)
+        if not args.skip_tpu:
+            out_dir = os.path.join(args.out, f"{name}_tpu")
+            st = run_tpu(ds, tpu_cam, out_dir, frames=args.frames, **tpu_kwargs)
+            est = os.path.join(out_dir, "trajectory.txt")
+            ate, pct = evaluate(est, gt, with_scale)
+            r["tpu"] = {"ate": ate, "tracked_pct": pct, "wall_s": st["wall_s"]}
+            print(f"  tpu: ATE={ate:.4f} tracked={pct:.2%}", flush=True)
+        results[name] = r
+
+    out_json = os.path.join(args.out, "parity.json")
+    json.dump(results, open(out_json, "w"), indent=1)
+    print(json.dumps(results, indent=1))
+
+    if args.update_md:
+        write_md(results, args.frames)
+    return 0
+
+
+def write_md(results, frames):
+    lines = [
+        "# PARITY — head-to-head vs the reference UcoSLAM (C++)",
+        "",
+        "Both engines run on IDENTICAL rendered image sequences "
+        f"({frames} frames, 640x480) with the same camera YML; the "
+        "reference is the unmodified `libucoslam.so` built out-of-tree "
+        "from /root/reference (tools/parity/build_ref_driver.sh) driven "
+        "by tools/parity/ref_driver.cpp implementing its own two-pass "
+        "protocol (tests/test_sequence.cpp:157-420). ATE is Horn-1987 "
+        "aligned RMSE vs exact synthetic ground truth "
+        "(tests/logtools.cpp:153,291 semantics; scale-aligned for mono, "
+        "metric for stereo/markers). Reproduce: "
+        "`bash tools/parity/build_ref_driver.sh && python "
+        "tools/parity/run_parity.py --update-md`.",
+        "",
+        "| scenario | engine | ATE (m) | % frames tracked | host fps |",
+        "|---|---|---|---|---|",
+    ]
+    for name, r in results.items():
+        for eng in ("ref", "tpu"):
+            if eng not in r:
+                continue
+            e = r[eng]
+            fps = e.get("fps")
+            fps_s = f"{fps:.1f}" if fps else "—"
+            lines.append(
+                f"| {name} | {'reference (C++)' if eng == 'ref' else 'ucoslam_tpu'} "
+                f"| {e['ate']:.4f} | {e['tracked_pct']:.1%} | {fps_s} |"
+            )
+    lines += [
+        "",
+        "Notes: fps for the reference is single-host CPU wall-clock of its "
+        "SLAM pass on this machine (2-core); ucoslam_tpu fps is benchmarked "
+        "separately on the TPU chip in BENCH (the CLI path here pays "
+        "host-side Python + compile overhead and is not the perf number).",
+    ]
+    with open(os.path.join(REPO, "PARITY.md"), "w") as f:
+        f.write("\n".join(lines) + "\n")
+    print("wrote PARITY.md")
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -38,6 +38,21 @@ class UcoSlam:
         self._params = params
         self._map = world_map or Map(params)
         self._system = System(params, cam, self._map)
+        if marker_detector is None and params.detectMarkers:
+            # the reference configures the aruco detector inside
+            # System::setParams from Params.aruco_* (frameextractor.cpp
+            # preserved names getDetectionModeFromString /
+            # setCornerRefinementMethod; ucoslamtypes.h:120-144); same here
+            # so marker videos work through the production CLI path.
+            from ucoslam_tpu.markers.detector import ArucoDetector
+
+            det = ArucoDetector(
+                dictionary=params.aruco_Dictionary,
+                marker_size=params.aruco_markerSize,
+                corner_refine=params.aruco_CornerRefimentMethod,
+            )
+            if det.available:
+                marker_detector = det
         self._extractor = FrameExtractor(params, cam, marker_detector)
         self._vocab_path = vocabulary
         if vocabulary:

@@ -133,6 +133,10 @@ class SyntheticSequence:
             from ucoslam_tpu.markers.detector import SyntheticMarkerDetector
             import jax.numpy as _jnp
 
+            # markers face the camera side (marker +z toward -z world): the
+            # trajectory looks along +z, so without the flip the renderer
+            # would show marker backs (mirrored bits, undetectable)
+            flip = np.diag([1.0, -1.0, -1.0, 1.0]).astype(np.float32)
             marker_poses = {}
             for mid in range(n_markers):
                 xi = np.concatenate(
@@ -141,7 +145,22 @@ class SyntheticSequence:
                         rng.uniform(-0.5, 0.5, 3),
                     ]
                 ).astype(np.float32)
-                marker_poses[100 + mid] = np.asarray(se3_exp(_jnp.asarray(xi)))
+                marker_poses[100 + mid] = np.asarray(se3_exp(_jnp.asarray(xi))) @ flip
+            # clear scene quads near markers so rendered markers are not
+            # occluded (physical scenes don't have texture pasted on markers)
+            centers = np.stack([T[:3, 3] for T in marker_poses.values()])
+            r_excl = 0.5 * marker_size * 1.45 * np.sqrt(2.0) + 0.55
+            d = np.linalg.norm(
+                self.points[:, None, :] - centers[None, :, :], axis=-1
+            ).min(1)
+            keep = d > r_excl
+            self.points = self.points[keep]
+            self.descs = self.descs[keep]
+            self.brightness = self.brightness[keep]
+            self.quad_half = self.quad_half[keep]
+            self.quad_theta = self.quad_theta[keep]
+            self.quad_tex = self.quad_tex[keep]
+            self.point_d0 = self.point_d0[keep]
             self._marker_detector = SyntheticMarkerDetector(marker_poses, marker_size)
 
         # trajectory
@@ -308,13 +327,37 @@ class SyntheticSequence:
         cth, sth = np.cos(self.quad_theta), np.sin(self.quad_theta)
         U = np.stack([cth, sth, np.zeros_like(cth)], -1) * self.quad_half[:, :1]
         V = np.stack([-sth, cth, np.zeros_like(cth)], -1) * self.quad_half[:, 1:2]
-        order = np.argsort(-z)  # painter's algorithm, far to near
-        Rc2 = R[2]  # camera z row for exact per-pixel depth
-        for j in order:
-            if z[j] < 0.5:
+        # render items: (z_center, U_cam (3,), V_cam (3,), center_cam (3,), tex)
+        items = [
+            (z[j], R @ U[j], R @ V[j], cam_pts[j], self.quad_tex[j])
+            for j in range(len(self.points))
+        ]
+        # real marker bitmaps drawn as world-anchored planes: the rendered
+        # images contain actual detectable ARUCO_MIP_36h12 markers (the
+        # reference's SPM marker-suite stand-in). Quad half-extent covers
+        # the quiet zone; the black border spans the physical marker size.
+        if self._marker_detector is not None and getattr(self, "render_markers", True):
+            from ucoslam_tpu.markers.dictionary import marker_texture
+
+            for mid, g2m in sorted(self._marker_detector.poses.items()):
+                tex, ratio = marker_texture(mid % 250, px_per_cell=8)
+                Tm = T @ g2m  # marker -> camera
+                hext = 0.5 * self.marker_size * ratio
+                items.append(
+                    (
+                        float(Tm[2, 3]),
+                        Tm[:3, 0] * hext,
+                        Tm[:3, 1] * hext,
+                        Tm[:3, 3],
+                        np.flipud(tex).copy(),  # row 0 of tex = marker top = +y
+                    )
+                )
+        items.sort(key=lambda it: -it[0])  # painter's algorithm, far to near
+        for zj, Uc, Vc, Cc, tex in items:
+            if zj < 0.5:
                 continue
-            # homography (s, t, 1) -> pixel for quad j
-            cols = np.stack([R @ U[j], R @ V[j], cam_pts[j]], 1)  # (3, 3)
+            # homography (s, t, 1) -> pixel for this plane item
+            cols = np.stack([Uc, Vc, Cc], 1)  # (3, 3)
             H = K @ cols
             # projected corners -> integer bounding box
             corn = H @ np.array(
@@ -346,17 +389,15 @@ class SyntheticSequence:
             inside = (np.abs(s) <= 1.0) & (np.abs(tt) <= 1.0) & (q[2] != 0)
             if not inside.any():
                 continue
-            ti = np.clip(((s + 1.0) * 4.0).astype(np.int32), 0, 7)
-            tj = np.clip(((tt + 1.0) * 4.0).astype(np.int32), 0, 7)
+            th, tw = tex.shape
+            ti = np.clip((((s + 1.0) * 0.5) * tw).astype(np.int32), 0, tw - 1)
+            tj = np.clip((((tt + 1.0) * 0.5) * th).astype(np.int32), 0, th - 1)
             patch = img[y0:y1, x0:x1]
-            patch[inside] = self.quad_tex[j][tj[inside], ti[inside]]
+            patch[inside] = tex[tj[inside], ti[inside]]
             if with_depth:
-                # exact camera-frame depth of the surface point
-                zpix = (
-                    cam_pts[j][2]
-                    + s * (Rc2 @ U[j])
-                    + tt * (Rc2 @ V[j])
-                )
+                # exact camera-frame depth of the surface point (Uc/Vc are
+                # camera-frame plane basis vectors, so z = Cc.z + s*Uc.z + t*Vc.z)
+                zpix = Cc[2] + s * Uc[2] + tt * Vc[2]
                 dpatch = dep[y0:y1, x0:x1]
                 dpatch[inside] = zpix[inside]
         if self.brightness_drift != 0.0:

@@ -99,16 +99,35 @@ def shard_ba_problem(problem: BAProblem, n_shards: int) -> BAProblem:
     def reorder(x):
         return jnp.asarray(np.asarray(x)[order])
 
+    # per-shard camera->local-obs tables, stacked on axis 0 so the "pt"
+    # sharding hands each device its own (K, CO) block
+    from ucoslam_tpu.optim.ba import _build_cam_obs
+
+    K = problem.cam_pose.shape[0]
+    new_obs_cam = np.asarray(problem.obs_cam)[order]
+    new_obs_valid = np.asarray(problem.obs_valid)[order] & pad_mask
+    tables = []
+    for s in range(n_shards):
+        lo = s * o_per
+        loc_cam = new_obs_cam[lo : lo + o_per].copy()
+        loc_cam[~new_obs_valid[lo : lo + o_per]] = -1  # pad rows excluded
+        tables.append(_build_cam_obs(loc_cam, K, o_per))
+    co_max = max(t.shape[1] for t in tables)
+    cam_obs = np.full((n_shards * K, co_max), -1, np.int32)
+    for s, t in enumerate(tables):
+        cam_obs[s * K : (s + 1) * K, : t.shape[1]] = t
+
     return problem._replace(
         pt_pos=pad_pts(problem.pt_pos),
         pt_valid=pad_pts(np.asarray(problem.pt_valid), fill=False),
-        obs_cam=reorder(problem.obs_cam),
+        obs_cam=jnp.asarray(new_obs_cam),
         obs_pt=jnp.asarray(new_obs_pt.astype(np.int32)),
         obs_uv=reorder(problem.obs_uv),
         obs_sigma2=reorder(problem.obs_sigma2),
         obs_depth=reorder(problem.obs_depth),
-        obs_valid=jnp.asarray(np.asarray(problem.obs_valid)[order] & pad_mask),
+        obs_valid=jnp.asarray(new_obs_valid),
         pt_obs=jnp.asarray(pt_obs),
+        cam_obs=jnp.asarray(cam_obs),
     )
 
 
@@ -118,6 +137,8 @@ def sharded_ba_solve(
     mesh: Mesh,
     iters: int = 20,
     stages: int = 2,
+    solver: str = "auto",
+    cg_iters: int = 32,
 ) -> BAResult:
     """Run the full staged-LM Schur BA distributed over `mesh`.
 
@@ -164,6 +185,7 @@ def sharded_ba_solve(
         pt_pos=sh, pt_valid=sh,
         obs_cam=sh, obs_pt=sh, obs_uv=sh, obs_sigma2=sh,
         obs_depth=sh, obs_valid=sh, pt_obs=sh, bf=repl,
+        cam_obs=None if problem.cam_obs is None else sh,
         **mk_specs,
     )
 
@@ -177,6 +199,7 @@ def sharded_ba_solve(
         return _staged_lm(
             local, cam, iters, stages,
             psum=lambda x: jax.lax.psum(x, axis),
+            solver=solver, cg_iters=cg_iters,
         )
 
     cam_pose, mk_pose, pt_pos, costs, c2, bad = jax.jit(run)(prob)
