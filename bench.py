@@ -39,8 +39,45 @@ def _enable_compile_cache(jax):
         jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-    except Exception:
-        pass  # cache is an optimization; never fail the bench over it
+    except Exception as e:  # cache is an optimization; never fail over it
+        print(f"compile cache disabled: {e}", file=sys.stderr)
+
+
+# Peak numbers for roofline accounting (TPU v5e / "v5 lite"; public specs:
+# 197 TFLOP/s bf16, f32 through the MXU at ~1/4 rate, 819 GB/s HBM).
+PEAK_F32 = 49e12
+PEAK_BF16 = 197e12
+PEAK_HBM = 8.19e11
+
+
+def _cost_of(jax, fn, *args):
+    """(flops, bytes) from XLA's cost analysis of the compiled program."""
+    try:
+        ca = jax.jit(fn).lower(*args).compile().cost_analysis()
+        if isinstance(ca, list):
+            ca = ca[0]
+        return float(ca.get("flops", 0.0)), float(ca.get("bytes accessed", 0.0))
+    except Exception as e:  # noqa: BLE001 — roofline is best-effort
+        print(f"cost analysis unavailable: {e}", file=sys.stderr)
+        return None, None
+
+
+def _roofline(flops, nbytes, t_sec):
+    """Achieved rates + bound fractions for one stage."""
+    if not flops or not t_sec:
+        return {}
+    tf = flops / t_sec
+    gb = (nbytes or 0.0) / t_sec
+    out = {
+        "gflops": round(flops / 1e9, 2),
+        "achieved_tflops": round(tf / 1e12, 3),
+        "pct_f32_peak": round(100.0 * tf / PEAK_F32, 1),
+    }
+    if nbytes:
+        out["hbm_gbps"] = round(gb / 1e9, 1)
+        out["pct_hbm_peak"] = round(100.0 * gb / PEAK_HBM, 1)
+        out["bound"] = "memory" if gb / PEAK_HBM > tf / PEAK_F32 else "compute"
+    return out
 
 
 def bench_frame_pipeline(jax, jnp):
@@ -93,7 +130,16 @@ def bench_frame_pipeline(jax, jnp):
         out = _track_step(*args)
     out[0].block_until_ready()
     t_track = (time.perf_counter() - t0) / n_rep
-    return t_extract, t_track, int(out[4])
+
+    # roofline accounting (XLA-counted FLOPs/bytes; BASELINE.md
+    # speed-of-light north star — shows how far each stage is from light)
+    fl_e, by_e = _cost_of(jax, orb.detect_and_compute, img)
+    fl_t, by_t = _cost_of(jax, _track_step, *args)
+    roof = {
+        "extract": _roofline(fl_e, by_e, t_extract),
+        "track": _roofline(fl_t, by_t, t_track),
+    }
+    return t_extract, t_track, int(out[4]), roof
 
 
 def _make_ba_problem(jnp, n_kf=128, n_pt=16384, obs_per_pt=8):
@@ -145,15 +191,18 @@ def _make_ba_problem(jnp, n_kf=128, n_pt=16384, obs_per_pt=8):
         obs_valid=jnp.ones(O, bool),
         pt_obs=jnp.asarray(np.arange(O, dtype=np.int32).reshape(n_pt, obs_per_pt)),
         bf=jnp.float32(50.0),
+        cam_obs=jnp.asarray(
+            __import__("ucoslam_tpu.optim.ba", fromlist=["_build_cam_obs"])
+            ._build_cam_obs(obs_cam2.reshape(-1), n_kf, O)
+        ),
     )
     return problem, cam
 
 
-def bench_global_ba(jax, jnp):
-    """Global-BA LM iterations/sec at 128 KF x 16k pts x 131k obs."""
+def _ba_iter_time(jax, jnp, problem, cam):
+    """Marginal LM-iteration time + convergence check for one problem."""
     from ucoslam_tpu.optim.ba import ba_solve
 
-    problem, cam = _make_ba_problem(jnp)
     lo, hi = 4, 24
     r = ba_solve(problem, cam, iters=lo, stages=1)
     r.cam_pose.block_until_ready()  # compile iters=lo
@@ -171,12 +220,40 @@ def bench_global_ba(jax, jnp):
     converged = float(np.asarray(r.cost_history)[-1]) < float(
         np.asarray(r.cost_history)[0]
     )
-    return {
+    fl, by = _cost_of(
+        jax,
+        lambda p: ba_solve(p, cam, iters=1, stages=1),
+        problem,
+    )
+    roof = _roofline(fl, by, t_iter) if fl else {}
+    return t_iter, converged, roof
+
+
+def bench_global_ba(jax, jnp):
+    """Global-BA LM iterations/sec at two scales: the mapping-rate window
+    (128 kf) and the reference-suite map (1024 kf x 131k pts x 1M obs —
+    KITTI-00 scale, VERDICT r2 item #2: target < 100 ms / LM iter)."""
+    problem, cam = _make_ba_problem(jnp)
+    t_iter, converged, roof = _ba_iter_time(jax, jnp, problem, cam)
+    out = {
         "ba_iters_per_sec": round(1.0 / max(t_iter, 1e-9), 2),
         "ba_t_iter_ms": round(t_iter * 1e3, 3),
         "ba_problem": "128kf x 16384pt x 131072obs",
         "ba_cost_decreased": bool(converged),
+        "ba_roofline": roof,
     }
+    try:
+        big, cam_b = _make_ba_problem(jnp, n_kf=1024, n_pt=131072, obs_per_pt=8)
+        t_big, conv_b, roof_b = _ba_iter_time(jax, jnp, big, cam_b)
+        out.update(
+            ba_big_t_iter_ms=round(t_big * 1e3, 3),
+            ba_big_problem="1024kf x 131072pt x 1048576obs",
+            ba_big_cost_decreased=bool(conv_b),
+            ba_big_roofline=roof_b,
+        )
+    except Exception as e:  # noqa: BLE001 — big-map bench is best-effort
+        out["ba_big_error"] = str(e)[:200]
+    return out
 
 
 _SCALING_SCRIPT = r"""
@@ -253,9 +330,34 @@ def main():
 
     _enable_compile_cache(jax)
     dev = jax.devices()[0]
-    t_extract, t_track, n_inliers = bench_frame_pipeline(jax, jnp)
+    t_extract, t_track, n_inliers, roof = bench_frame_pipeline(jax, jnp)
     ba = bench_global_ba(jax, jnp)
     sharded = bench_sharded_overhead()
+
+    # Per-LM-step collective volume of the sharded CG Schur solver at the
+    # big-map size (V vertices): one psum of Hv+bv+b_corr+DK (84V floats)
+    # plus cg_iters psums of (V, 6) — vs the old dense-S psum of 36V^2.
+    # Projected ICI time assumes ~90 GB/s effective all-reduce bandwidth
+    # per v5e chip (4x ICI links); efficiency model = compute / (compute +
+    # collective) at the measured big-map iteration time.
+    V, CGI = 1024, 32
+    bytes_cg = 4 * (84 * V + CGI * 6 * V)
+    bytes_dense = 4 * (36 * V * V + 48 * V)
+    t_ici = bytes_cg / 90e9
+    t_iter_big = ba.get("ba_big_t_iter_ms", 0.0) / 1e3
+    ici_model = {
+        "psum_bytes_per_lm_step_cg": bytes_cg,
+        "psum_bytes_per_lm_step_dense_S": bytes_dense,
+        "projected_ici_s_per_step": round(t_ici, 6),
+        "projected_scaling_efficiency": (
+            round(t_iter_big / (t_iter_big / 1.0 + t_ici), 4)
+            if t_iter_big
+            else None
+        ),
+        "note": "efficiency model for N chips: per-chip compute drops "
+                "~1/N while the psum volume is N-independent (ring "
+                "all-reduce), so eff(N) = (T/N) / (T/N + t_ici)",
+    }
 
     fps = 1.0 / (t_extract + t_track)
     result = {
@@ -268,8 +370,10 @@ def main():
             "t_track_ms": round(t_track * 1e3, 3),
             "n_inliers": n_inliers,
             "device": str(dev),
+            "roofline": roof,
             **ba,
             **sharded,
+            "ici_model": ici_model,
         },
     }
     print(json.dumps(result))

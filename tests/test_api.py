@@ -94,3 +94,40 @@ class TestFacade:
             pose = slam.process(img, fseq=i)
             tracked += pose is not None
         assert tracked >= 4, f"tracked {tracked} of 8 image frames"
+
+
+class TestResumeSignatureParity:
+    def test_resume_equals_straight_run(self):
+        """Mid-sequence checkpoint/resume reproduces the straight run's
+        per-frame signature stream (the reference harness's `-slam` resume,
+        test_sequence.cpp:212-222; System serialization
+        system.cpp:2837-3102). The signature covers tracker state — pose,
+        motion model, counters, mode — not just the map."""
+        import tempfile, os
+
+        seq = SyntheticSequence(n_frames=24, seed=13)
+
+        def sigs_from(slam, start):
+            out = []
+            for i in range(start, seq.n_frames):
+                slam.process_frame(seq.frame(i))
+                out.append(slam.getSignatureStr())
+            return out
+
+        # straight run, recording signatures after frame 11
+        s1 = UcoSlam()
+        s1.setParams(None, PARAMS, seq.cam)
+        for i in range(12):
+            s1.process_frame(seq.frame(i))
+        with tempfile.TemporaryDirectory() as d:
+            ckpt = os.path.join(d, "mid.slm")
+            s1.saveToFile(ckpt)
+            straight = sigs_from(s1, 12)
+
+            s2 = UcoSlam()
+            s2.readFromFile(ckpt, seq.cam)
+            resumed = sigs_from(s2, 12)
+        assert straight == resumed, (
+            f"resume diverged at frame "
+            f"{next(i for i, (a, b) in enumerate(zip(straight, resumed)) if a != b)}"
+        )

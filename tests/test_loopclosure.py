@@ -178,9 +178,15 @@ class TestLoopCorrection:
             corr = np.linalg.inv(drift_poses[k]) @ true_poses[k]
             pts[sel] = pts_true[sel] @ corr[:3, :3].T + corr[:3, 3]
         descs = np.concatenate(all_desc)
-        dist = np.linalg.norm(pts, axis=1)
-        slots = m.add_points(pts, pts / dist[:, None], descs, dist / 1.2**7,
-                             dist * 1.3, np.zeros(len(pts), np.int32), 0)
+        # scale band from the OWNER camera's true viewing distance (the
+        # production invariant: predictScale(view_dist) ~ detection octave)
+        centers = np.stack(
+            [-T[:3, :3].T @ T[:3, 3] for T in true_poses]
+        )[owner_arr]
+        dist = np.linalg.norm(pts_true - centers, axis=1)
+        slots = m.add_points(pts, pts / np.linalg.norm(pts, axis=1)[:, None],
+                             descs, dist / 1.2**7,
+                             dist * 1.15, np.zeros(len(pts), np.int32), 0)
 
         import jax.numpy as jnp2
 
@@ -262,3 +268,76 @@ class TestLoopCorrection:
         # keyframe poses pulled toward truth (up to the fixed-gauge frame)
         drift_after = np.linalg.norm(np.asarray(m.state.kf_pose)[9] - true_poses[9])
         assert drift_after < drift_before
+
+    def test_seam_duplicates_fused_after_correction(self):
+        """correctMap fuses duplicate landmarks across the loop seam
+        (loopdetector.cpp:3024-3081): the returning keyframe mapped its own
+        copies of the start's landmarks; after Sim3 relaxation the copies
+        coincide with the originals and must merge (point count drops)."""
+        import jax.numpy as jnp
+        from ucoslam_tpu.mapping.frame import empty_frame
+        from ucoslam_tpu.mapping.kfdatabase import KeyFrameDataBase
+        from ucoslam_tpu.slam.loopclosure import LoopDetector
+
+        m, cam, true_poses, drift_poses, params = self._drifted_loop_map()
+        kfdb = KeyFrameDataBase(params.maxKeyFrames)
+        st = m.state
+        for k in range(10):
+            kfdb.add(k, st.kf_desc[k], st.kf_kpt_valid[k])
+        det = LoopDetector(params, cam, kfdb)
+
+        # the returning camera truly sits at kf0's pose but believes the
+        # drifted estimate; it has TRIANGULATED ITS OWN duplicate copies of
+        # kf0's landmarks, consistent with its drifted pose
+        pts_true = np.asarray(st.pt_pos)[:60]
+        descs = np.asarray(st.pt_desc)[:60]
+        A9 = drift_poses[-1] @ np.linalg.inv(true_poses[-1])
+        cur_drifted = (A9 @ true_poses[0]).astype(np.float32)
+        # duplicate world positions as seen from the drifted frame:
+        # X_dup = drifted^-1 @ true @ X  (reprojects to the same pixels)
+        corr = np.linalg.inv(cur_drifted) @ true_poses[0]
+        pts_dup = (pts_true @ corr[:3, :3].T + corr[:3, 3]).astype(np.float32)
+        c0 = -true_poses[0][:3, :3].T @ true_poses[0][:3, 3]
+        dist = np.linalg.norm(pts_true - c0, axis=1)  # true viewing distance
+        dup_slots = m.add_points(
+            pts_dup, pts_dup / np.linalg.norm(pts_dup, axis=1)[:, None],
+            descs, dist / 1.2**7, dist * 1.15, np.zeros(60, np.int32), 0,
+        )
+
+        T_true = true_poses[0]
+        uv = np.asarray(
+            cam.project(jnp.asarray(pts_true @ T_true[:3, :3].T + T_true[:3, 3]))
+        )
+        ids = np.full(256, -1, np.int32)
+        ids[:60] = dup_slots  # keypoints claimed by the DUPLICATE slots
+        f = empty_frame(256)._replace(
+            fseq=jnp.int32(200),
+            und_xy=jnp.asarray(np.pad(uv, ((0, 196), (0, 0))).astype(np.float32)),
+            desc=jnp.asarray(np.vstack([descs, np.zeros((196, 8), np.uint32)])),
+            valid=jnp.asarray(np.arange(256) < 60),
+            ids=jnp.asarray(ids),
+            pose_f2g=jnp.asarray(cur_drifted),
+        )
+        kf_slot = m.add_keyframe(f)
+        kfdb.add(kf_slot, f.desc, f.valid)
+
+        n_before = m.n_points
+        info = det.detect_from_keypoints(m, kf_slot, f)
+        assert info.found, "loop not detected"
+        ok = det.correct_map(m, info)
+        assert ok, "correction rejected"
+        n_after = m.n_points
+        assert n_after <= n_before - 30, (
+            f"seam duplicates not fused: {n_before} -> {n_after}"
+        )
+        # the production hook runs a global BA right after correctMap
+        # (mapmanager._detect_and_close_loop); the merged observations must
+        # then settle to a consistent geometry
+        from ucoslam_tpu.optim.ba import global_bundle_adjustment
+
+        chi_merged = m.global_reproj_chi2(cam)
+        global_bundle_adjustment(m, cam, n_iters=15)
+        chi_ba = m.global_reproj_chi2(cam)
+        assert np.isfinite(chi_ba) and chi_ba < max(0.5 * chi_merged, 6.0), (
+            chi_merged, chi_ba,
+        )

@@ -79,3 +79,21 @@ def test_detector_facade_uses_native():
     assert int(np.asarray(mk.id)[v][0]) == 7
     # IPPE attached a plausible pose (marker in front of the camera)
     assert float(np.asarray(mk.pose1)[0][2, 3]) > 0
+
+
+def test_second_dictionary_16h3():
+    """The C ABI is dictionary-agnostic; ARUCO_MIP_16h3 codewords load from
+    the native header (ref dictionary.cpp supports the full set)."""
+    from ucoslam_tpu.markers.dictionary import marker_image
+
+    img = np.full((480, 640), 180, np.uint8)
+    placed = {5: (60, 80, 20), 99: (250, 380, 16), 200: (320, 100, 13)}
+    for mid, (y, x, ppc) in placed.items():
+        m = marker_image(mid, px_per_cell=ppc, quiet_cells=0,
+                         name="ARUCO_MIP_16h3")
+        img[y:y + m.shape[0], x:x + m.shape[1]] = m
+    ids, corners = detect_markers_native(img, dictionary="ARUCO_MIP_16h3")
+    assert sorted(ids.tolist()) == sorted(placed)
+    # wrong dictionary on the same image decodes nothing
+    ids36, _ = detect_markers_native(img)
+    assert len(ids36) == 0

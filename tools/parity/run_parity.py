@@ -73,22 +73,24 @@ def evaluate(est, gt, with_scale=True):
     return out[0], out[1]
 
 
-def run_ref(dataset, camyml, out_prefix, extra):
+def run_ref(dataset, camyml, out_prefix, extra, voc=None):
     t0 = time.time()
-    subprocess.run(
-        [REF_DRIVER, dataset, camyml, out_prefix] + extra,
-        check=True, capture_output=True, timeout=3600,
-    )
+    cmd = [REF_DRIVER, dataset, camyml, out_prefix] + extra
+    if voc:
+        cmd += ["-voc", voc]
+    subprocess.run(cmd, check=True, capture_output=True, timeout=3600)
     stats = json.load(open(out_prefix + ".stats"))
     stats["wall_s"] = time.time() - t0
     return stats
 
 
-def run_tpu(dataset, camyml, out_dir, stereo=False, markers=False, frames=0):
+def run_tpu(dataset, camyml, out_dir, stereo=False, markers=False, frames=0,
+            voc=None):
     """Run our engine through the production CLI harness (two-pass)."""
     from ucoslam_tpu.apps import test_sequence
 
-    argv = ["--dataset", dataset, "--out-dir", out_dir, "--camera", camyml]
+    argv = ["--dataset", dataset, "--out-dir", out_dir, "--camera", camyml,
+            "--voc", voc or "none"]
     if stereo:
         argv += ["--stereo", "--format", "euroc"]
     else:
@@ -153,9 +155,25 @@ def main(argv=None):
                     help="rewrite PARITY.md in the repo root")
     ap.add_argument("--skip-ref", action="store_true")
     ap.add_argument("--skip-tpu", action="store_true")
+    ap.add_argument("--voc", help=".fbow vocabulary for BOTH engines "
+                    "(default: bundled data/vocab.fbow; without one the "
+                    "reference crashes in its MODE_LOCALIZATION pass)")
     args = ap.parse_args(argv)
     scenarios = args.scenario or list(SCENARIOS)
     os.makedirs(args.out, exist_ok=True)
+    voc = args.voc
+    if voc is None:
+        from ucoslam_tpu.io.fbow import default_vocab_path
+
+        voc = default_vocab_path()
+    if voc is None:
+        # last resort: random flat vocab keeps the reference pass-2 alive
+        from ucoslam_tpu.io.fbow import save_fbow
+
+        voc = os.path.join(args.out, "random_vocab.fbow")
+        rng = np.random.default_rng(0)
+        save_fbow(voc, rng.integers(0, 2**32, (512, 8), dtype=np.uint32))
+    print(f"vocabulary: {voc}")
 
     results = {}
     for name in scenarios:
@@ -173,7 +191,7 @@ def main(argv=None):
         with_scale = not tpu_kwargs.get("stereo") and not tpu_kwargs.get("markers")
         if not args.skip_ref:
             pre = os.path.join(args.out, f"{name}_ref")
-            st = run_ref(ds, ref_cam, pre, ref_extra)
+            st = run_ref(ds, ref_cam, pre, ref_extra, voc=voc)
             # evaluate pass 2 (the protocol's evaluated trajectory); fall
             # back to pass 1 if localization lost everything
             est = pre + ".pass2.tum"
@@ -188,7 +206,7 @@ def main(argv=None):
                   f"fps={st.get('fps_pass1'):.1f}", flush=True)
         if not args.skip_tpu:
             out_dir = os.path.join(args.out, f"{name}_tpu")
-            st = run_tpu(ds, tpu_cam, out_dir, frames=args.frames, **tpu_kwargs)
+            st = run_tpu(ds, tpu_cam, out_dir, frames=args.frames, voc=voc, **tpu_kwargs)
             est = os.path.join(out_dir, "trajectory.txt")
             ate, pct = evaluate(est, gt, with_scale)
             r["tpu"] = {"ate": ate, "tracked_pct": pct, "wall_s": st["wall_s"]}

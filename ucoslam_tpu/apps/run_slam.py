@@ -60,6 +60,10 @@ def main(argv=None) -> int:
     ap.add_argument("--stereo", action="store_true")
     ap.add_argument("--synthetic", type=int, default=0, help="run N synthetic frames")
     ap.add_argument("--camera", help="camera YAML")
+    ap.add_argument(
+        "--voc", default="auto",
+        help="vocabulary .fbow; 'auto' = bundled data/vocab.fbow, 'none' = off",
+    )
     ap.add_argument("--params", help="params YAML")
     ap.add_argument("--out", default="trajectory.txt")
     ap.add_argument("--mode", choices=["slam", "localization"], default="slam")
@@ -131,7 +135,12 @@ def main(argv=None) -> int:
     if args.in_map:
         slam.readFromFile(args.in_map, cam)
     else:
-        slam.setParams(None, params, cam)
+        from ucoslam_tpu.io.fbow import default_vocab_path
+
+        voc = args.voc if args.voc not in (None, "auto") else default_vocab_path()
+        if args.voc == "none":
+            voc = None
+        slam.setParams(None, params, cam, vocabulary=voc)
     slam.setMode(Mode.LOCALIZATION if args.mode == "localization" else Mode.SLAM)
 
     viewer = None

@@ -45,6 +45,10 @@ def main(argv=None) -> int:
     ap.add_argument("--stereo", action="store_true")
     ap.add_argument("--gt", help="ground-truth file (KITTI poses.txt)")
     ap.add_argument("--camera")
+    ap.add_argument(
+        "--voc", default="auto",
+        help="vocabulary .fbow; 'auto' = bundled data/vocab.fbow, 'none' = off",
+    )
     ap.add_argument("--params")
     ap.add_argument("--out-dir", default="results")
     ap.add_argument("--recovery", action="store_true")
@@ -155,7 +159,12 @@ def main(argv=None) -> int:
     from ucoslam_tpu.utils.timers import profile_trace
 
     slam = UcoSlam()
-    slam.setParams(None, params, cam)
+    from ucoslam_tpu.io.fbow import default_vocab_path
+
+    voc = args.voc if args.voc not in (None, "auto") else default_vocab_path()
+    if args.voc == "none":
+        voc = None
+    slam.setParams(None, params, cam, vocabulary=voc)
     timers.reset()
     trace_cm = (
         profile_trace(os.path.join(args.out_dir, "trace"))

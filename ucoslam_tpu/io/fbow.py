@@ -156,3 +156,18 @@ def save_fbow(
         f.write(struct.pack("<Q", FBOW_MAGIC))
         f.write(params)
         f.write(data.tobytes())
+
+
+def default_vocab_path() -> str | None:
+    """Bundled trained vocabulary (data/vocab.fbow), if present.
+
+    The reference ships/downloads a trained orb.fbow (README.txt:19); the
+    repo's equivalent is trained by features/vocab_trainer and committed
+    under data/. Harness apps load it by default so relocalization and
+    loop-closure candidates use trained words out of the box.
+    """
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.dirname(__file__)))
+    p = os.path.join(root, "data", "vocab.fbow")
+    return p if os.path.exists(p) else None

@@ -617,6 +617,22 @@ class Map:
     def apply_transform(self, T) -> None:
         self.state = op_apply_transform(self.state, jnp.asarray(T, jnp.float32))
 
+    def center_ref_system_in_marker(self, marker_id: int) -> bool:
+        """Re-anchor the map's reference system at a marker
+        (counterpart Map::centerRefSystemInMarker, map.cpp:302:
+        applyTransform(pose_g2m^-1)): the marker becomes the world origin.
+        Returns True when the marker exists with a valid pose (the
+        reference's C++ quirkily returns false even on success)."""
+        st = self.state
+        mk_id = np.asarray(st.mk_id)
+        mk_valid = np.asarray(st.mk_pose_valid)
+        hits = np.nonzero((mk_id == marker_id) & mk_valid)[0]
+        if len(hits) == 0:
+            return False
+        g2m = np.asarray(st.mk_pose)[hits[0]]
+        self.apply_transform(np.linalg.inv(g2m).astype(np.float32))
+        return True
+
     def bump_point_stats(self, vis_mask, seen_mask) -> None:
         self.state = op_bump_point_stats(self.state, vis_mask, seen_mask)
 

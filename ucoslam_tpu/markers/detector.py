@@ -39,12 +39,16 @@ class ArucoDetector:
     "cv2", or "auto".
     """
 
+    #: dictionaries with native codeword tables (native/ headers)
+    NATIVE_DICTS = ("ARUCO_MIP_36h12", "ARUCO_MIP_16h3")
+
     def __init__(self, dictionary: str = "ARUCO_MIP_36h12", marker_size: float = 1.0,
                  corner_refine: str = "CORNER_SUBPIX", backend: str = "auto"):
         self.marker_size = float(marker_size)
+        self.dictionary = dictionary
         self._detector = None
         self._native = False
-        if backend in ("auto", "native") and dictionary == "ARUCO_MIP_36h12":
+        if backend in ("auto", "native") and dictionary in self.NATIVE_DICTS:
             from ucoslam_tpu.markers.native import native_available
 
             if native_available():
@@ -75,7 +79,7 @@ class ArucoDetector:
         if self._native:
             from ucoslam_tpu.markers.native import detect_markers_native
 
-            ids, corners = detect_markers_native(gray)
+            ids, corners = detect_markers_native(gray, dictionary=self.dictionary)
             return list(ids), corners
         corners, ids, _ = self._detector.detectMarkers(gray)
         if ids is None or len(ids) == 0:

@@ -24,8 +24,6 @@ _NATIVE_DIR = os.path.join(
 _DICTS = {
     "ARUCO_MIP_36h12": ("aruco_mip_36h12.h", 6),
     "ARUCO_MIP_16h3": ("aruco_mip_16h3.h", 4),
-    "ARUCO": ("aruco_original.h", 5),
-    "ARUCO_ORIGINAL": ("aruco_original.h", 5),
 }
 
 

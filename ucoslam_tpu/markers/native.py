@@ -54,8 +54,15 @@ def detect_markers_native(
     max_out: int = 32,
     min_perimeter: int = 40,
     max_correction: int = 1,
+    dictionary: str = "ARUCO_MIP_36h12",
 ):
-    """-> (ids (n,), corners (n, 4, 2) float32) using ARUCO_MIP_36h12."""
+    """-> (ids (n,), corners (n, 4, 2) float32).
+
+    The C ABI is dictionary-agnostic (codewords + bits-per-side are
+    arguments); ARUCO_MIP_36h12 uses the library's builtin table, other
+    dictionaries are loaded from the native/ codeword headers
+    (markers.dictionary) and passed in.
+    """
     lib = _load()
     if lib is None:
         raise RuntimeError("native aruco library unavailable")
@@ -63,9 +70,17 @@ def detect_markers_native(
     h, w = img.shape
     corners = np.zeros((max_out, 4, 2), np.float32)
     ids = np.zeros(max_out, np.int32)
+    if dictionary == "ARUCO_MIP_36h12":
+        dict_ptr, dict_size, nbits = None, 0, 0
+    else:
+        from ucoslam_tpu.markers.dictionary import dict_bits, load_codewords
+
+        words = np.ascontiguousarray(load_codewords(dictionary), np.uint64)
+        dict_ptr = words.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64))
+        dict_size, nbits = len(words), dict_bits(dictionary)
     n = lib.aruco_detect(
         img.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), w, h,
-        None, 0, 0, min_perimeter, max_correction,
+        dict_ptr, dict_size, nbits, min_perimeter, max_correction,
         corners.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
         ids.ctypes.data_as(ctypes.POINTER(ctypes.c_int)), max_out,
     )

@@ -230,4 +230,27 @@ class LoopDetector:
         if not np.isfinite(chi_after) or chi_after > max(chi_before * 3.0, 10.0):
             world_map.state = old_state  # validation failed, roll back
             return False
+
+        # ---- loop-side point fusion (loopdetector.cpp:3024-3081) --------
+        # After the Sim3 relaxation the two sides of the seam overlap
+        # geometrically; duplicates (same landmark mapped once per side)
+        # are merged by projecting into the seam keyframes: the current
+        # keyframe, the matched old-side keyframe and its strongest covis
+        # neighbours. The caller's post-loop BA then polishes the merged
+        # geometry.
+        from ucoslam_tpu.slam.mapmanager import fuse_duplicates_into_kf
+
+        covis = world_map.covis_matrix()
+        seam = [info.cur_kf, info.matched_kf]
+        for anchor in (info.cur_kf, info.matched_kf):
+            w = covis[anchor].copy()
+            w[anchor] = 0
+            nb = np.argsort(-w)[:3]
+            seam.extend(int(s) for s in nb if w[s] > 0)
+        seen = set()
+        for s in seam:
+            if s in seen or not world_map.keyframes.active[s]:
+                continue
+            seen.add(s)
+            fuse_duplicates_into_kf(world_map, s, self.cam, self.params)
         return True

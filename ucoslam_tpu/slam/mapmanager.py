@@ -72,6 +72,69 @@ def _frame_from_kf(world_map: Map, slot: int) -> Frame:
     )
 
 
+def fuse_duplicates_into_kf(world_map: Map, kf_slot: int, cam, params) -> int:
+    """Merge duplicate map points seen by keyframe `kf_slot`
+    (counterpart Map::fuseMapPoints, map.cpp:264; mapmanager.cpp:8720).
+
+    Projects map points into the keyframe; when a projected point lands on
+    a keypoint already assigned to a DIFFERENT point with a matching
+    descriptor, the two are duplicates: keep the one with more
+    observations, rewrite all references to the loser. Returns the number
+    of points fused away. Also used by LoopDetector.correct_map to fuse
+    duplicates across a just-closed loop seam (loopdetector.cpp:3024-3081).
+    """
+    from ucoslam_tpu.matching.projection import match_points_to_frame
+
+    st = world_map.state
+    cur = _frame_from_kf(world_map, kf_slot)
+    m = match_points_to_frame(
+        st.pt_pos, st.pt_desc, st.pt_normal, st.pt_min_dist, st.pt_max_dist,
+        st.pt_active, cur, cam, cur.pose_f2g,
+        jnp.float32(3.0),  # tight radius: only near-coincident points
+        jnp.float32(params.maxDescDistance * 0.6),
+        jnp.float32(params.scaleFactor),
+    )
+    kpt_idx = np.asarray(m.kpt_idx)
+    mvalid = np.asarray(m.point_valid)
+    ids = np.asarray(st.kf_ids)[kf_slot]
+    obs_counts = world_map.point_observation_counts()
+    # vectorized pair resolution: each projected point p that lands on
+    # a keypoint already claimed by a different point q is a duplicate
+    # pair (p, q); keep the better-observed one, remap the loser
+    # everywhere with one gather (no per-pair array rewrites)
+    p_all = np.nonzero(mvalid)[0]
+    q_all = ids[kpt_idx[p_all]]
+    sel = (q_all >= 0) & (q_all != p_all)
+    p_all, q_all = p_all[sel], q_all[sel]
+    if len(p_all) == 0:
+        return 0
+    # deterministic winner: more observations, ties to the lower slot
+    # (also makes (p,q)/(q,p) orientations agree — no remap cycles)
+    cp, cq = obs_counts[p_all], obs_counts[q_all]
+    lo = np.minimum(p_all, q_all)
+    hi = np.maximum(p_all, q_all)
+    keep = np.where(cp > cq, p_all, np.where(cq > cp, q_all, lo))
+    lose = np.where(cp > cq, q_all, np.where(cq > cp, p_all, hi))
+    remap = np.arange(st.P, dtype=np.int32)
+    remap[lose] = keep.astype(np.int32)
+    # path-compress chains (a->b, b->c) to their final survivor
+    for _ in range(2 + int(np.log2(max(len(p_all), 2)))):
+        nxt = remap[remap]
+        if (nxt == remap).all():
+            break
+        remap = nxt
+    kf_ids_all = np.asarray(st.kf_ids)
+    obs = kf_ids_all >= 0
+    kf_ids_all = np.where(obs, remap[np.clip(kf_ids_all, 0, None)], kf_ids_all)
+    fused = np.nonzero(remap != np.arange(st.P))[0]
+    world_map.points.free(fused)
+    world_map.state = world_map.state._replace(
+        kf_ids=jnp.asarray(kf_ids_all),
+        pt_active=jnp.asarray(world_map.points.active),
+    )
+    return len(fused)
+
+
 class MapManager:
     """Sequential-mode local mapping driven by the System."""
 
@@ -432,63 +495,11 @@ class MapManager:
 
     # ------------------------------------------------------------------
     def _fuse_duplicates(self, world_map: Map, kf_slot: int):
-        """Merge duplicate map points seen by the new keyframe
-        (counterpart Map::fuseMapPoints, map.cpp:264; mapmanager.cpp:8720).
-
-        Projects covis-neighbour points into the new keyframe; when a
-        projected point lands on a keypoint already assigned to a DIFFERENT
-        point with a matching descriptor, the two are duplicates: keep the
-        one with more observations, rewrite all references to the loser.
-        """
-        from ucoslam_tpu.matching.projection import match_points_to_frame
-
-        st = world_map.state
-        cur = _frame_from_kf(world_map, kf_slot)
-        m = match_points_to_frame(
-            st.pt_pos, st.pt_desc, st.pt_normal, st.pt_min_dist, st.pt_max_dist,
-            st.pt_active, cur, self.cam, cur.pose_f2g,
-            jnp.float32(3.0),  # tight radius: only near-coincident points
-            jnp.float32(self.params.maxDescDistance * 0.6),
-            jnp.float32(self.params.scaleFactor),
-        )
-        kpt_idx = np.asarray(m.kpt_idx)
-        mvalid = np.asarray(m.point_valid)
-        ids = np.asarray(st.kf_ids)[kf_slot]
-        obs_counts = world_map.point_observation_counts()
+        fuse_duplicates_into_kf(world_map, kf_slot, self.cam, self.params)
         # vectorized pair resolution: each projected point p that lands on
         # a keypoint already claimed by a different point q is a duplicate
         # pair (p, q); keep the better-observed one, remap the loser
         # everywhere with one gather (no per-pair array rewrites)
-        p_all = np.nonzero(mvalid)[0]
-        q_all = ids[kpt_idx[p_all]]
-        sel = (q_all >= 0) & (q_all != p_all)
-        p_all, q_all = p_all[sel], q_all[sel]
-        if len(p_all) == 0:
-            return
-        # deterministic winner: more observations, ties to the lower slot
-        # (also makes (p,q)/(q,p) orientations agree — no remap cycles)
-        cp, cq = obs_counts[p_all], obs_counts[q_all]
-        lo = np.minimum(p_all, q_all)
-        hi = np.maximum(p_all, q_all)
-        keep = np.where(cp > cq, p_all, np.where(cq > cp, q_all, lo))
-        lose = np.where(cp > cq, q_all, np.where(cq > cp, p_all, hi))
-        remap = np.arange(st.P, dtype=np.int32)
-        remap[lose] = keep.astype(np.int32)
-        # path-compress chains (a->b, b->c) to their final survivor
-        for _ in range(2 + int(np.log2(max(len(p_all), 2)))):
-            nxt = remap[remap]
-            if (nxt == remap).all():
-                break
-            remap = nxt
-        kf_ids_all = np.asarray(st.kf_ids)
-        obs = kf_ids_all >= 0
-        kf_ids_all = np.where(obs, remap[np.clip(kf_ids_all, 0, None)], kf_ids_all)
-        world_map.points.free(np.nonzero(remap != np.arange(st.P))[0])
-        world_map.state = world_map.state._replace(
-            kf_ids=jnp.asarray(kf_ids_all),
-            pt_active=jnp.asarray(world_map.points.active),
-        )
-
     # ------------------------------------------------------------------
     def _cull_keyframes(self, world_map: Map, kf_slot: int):
         """Remove redundant keyframes (KFCulling, mapmanager.cpp:6098):

@@ -364,6 +364,30 @@ class System:
         self.velocity = np.eye(4, dtype=np.float32)
 
     def global_signature(self) -> int:
-        """Determinism signature over map + params
-        (counterpart UcoSlam::getSignatureStr, ucoslam.h:94)."""
-        return self.map.signature() ^ self.params.signature()
+        """Determinism signature over map + params + TRACKER state.
+
+        Counterpart UcoSlam::getSignatureStr (ucoslam.h:94): the reference
+        rolls an order-sensitive Hash over ALL system internals — current
+        pose, motion model, counters, mode — not just the map
+        (system.cpp:2837-3102, hash.h:28). Order-sensitive composition
+        (not XOR) so state-restore regressions are caught.
+        """
+        import hashlib
+
+        h = hashlib.blake2b(digest_size=8)
+
+        def upd_f(x):
+            a = np.asarray(x, np.float64)
+            h.update(np.round(a * 1e4).astype(np.int64).tobytes())
+
+        h.update(self.map.signature().to_bytes(8, "little"))
+        h.update(self.params.signature().to_bytes(8, "little", signed=False))
+        upd_f(np.zeros((4, 4)) if self.pose is None else self.pose)
+        upd_f(np.zeros((4, 4)) if self.prev_pose is None else self.prev_pose)
+        upd_f(self.velocity)
+        for v in (
+            int(self.state), int(self.mode), self.frames_since_kf,
+            self.manager.kf_counter, self.last_kf_inliers,
+        ):
+            h.update(int(v).to_bytes(8, "little", signed=True))
+        return int.from_bytes(h.digest(), "little")
