@@ -74,6 +74,9 @@ def main(argv=None) -> int:
     ap.add_argument("--max-frames", type=int, default=0)
     ap.add_argument("--viewer", action="store_true")
     args = ap.parse_args(argv)
+    from ucoslam_tpu.utils.cache import enable_compile_cache
+
+    enable_compile_cache()
 
     params = Params.load_yml(args.params) if args.params else Params().replace(
         maxMapPoints=8192, maxKeyFrames=64, maxKeyPointsPerFrame=1024,

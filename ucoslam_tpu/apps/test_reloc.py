@@ -35,6 +35,9 @@ def main(argv=None) -> int:
         "relocalize by brute-force matching against the whole point arena",
     )
     args = ap.parse_args(argv)
+    from ucoslam_tpu.utils.cache import enable_compile_cache
+
+    enable_compile_cache()
 
     if args.synthetic:
         from ucoslam_tpu.io.synthetic import SyntheticSequence

@@ -42,6 +42,10 @@ def main(argv=None) -> int:
         "to the detected format (test_generator_monocular.sh presets)",
     )
     ap.add_argument("--synthetic", type=int, default=0)
+    ap.add_argument("--synthetic-traj", default="arc",
+                    help="synthetic trajectory: arc|line|loop|orbit_out")
+    ap.add_argument("--synthetic-points", type=int, default=1200)
+    ap.add_argument("--synthetic-markers", type=int, default=0)
     ap.add_argument("--stereo", action="store_true")
     ap.add_argument("--gt", help="ground-truth file (KITTI poses.txt)")
     ap.add_argument("--camera")
@@ -64,6 +68,9 @@ def main(argv=None) -> int:
         help="debug string-registry entries key[=value] (Debug::addString)",
     )
     args = ap.parse_args(argv)
+    from ucoslam_tpu.utils.cache import enable_compile_cache
+
+    enable_compile_cache()
     os.makedirs(args.out_dir, exist_ok=True)
 
     from ucoslam_tpu.utils import Debug, timers
@@ -82,7 +89,11 @@ def main(argv=None) -> int:
     if args.synthetic:
         from ucoslam_tpu.io.synthetic import SyntheticSequence
 
-        seq = SyntheticSequence(n_frames=args.synthetic, seed=args.seed)
+        seq = SyntheticSequence(
+            n_frames=args.synthetic, seed=args.seed,
+            trajectory=args.synthetic_traj, n_points=args.synthetic_points,
+            n_markers=args.synthetic_markers,
+        )
         cam = seq.cam
         n = seq.n_frames
         get_img = seq.render
@@ -231,9 +242,14 @@ def main(argv=None) -> int:
 
     est_path = os.path.join(args.out_dir, "trajectory.txt")
     save_trajectory_tum(est_path, est_stamps, est_poses)
+    import resource
+
+    maxrss_mb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024.0
     print(
         f"mappingFPS={n / max(t_map, 1e-9):.2f} trackingFPS={n / max(t_track, 1e-9):.2f} "
-        f"tracked={len(est_poses)}/{n} recoveries={recovered}"
+        f"tracked={len(est_poses)}/{n} recoveries={recovered} "
+        f"keyframes={slam.map.n_keyframes} points={slam.map.n_points} "
+        f"maxRSS={maxrss_mb:.0f}MB"
     )
     if os.path.exists(gt_path):
         from ucoslam_tpu.apps.compare_logs import evaluate

@@ -141,7 +141,7 @@ class Params:
     maxMapPoints: int = 16384  # map-point arena capacity
     maxKeyFrames: int = 256  # keyframe arena capacity
     maxMarkers: int = 64  # marker arena capacity
-    maxLocalKeyFrames: int = 8  # local-BA covis window size
+    maxLocalKeyFrames: int = 0  # local-BA covis window cap; 0 = full local covis set (reference semantics)
     ransacIters: int = 256  # vmapped hypotheses for PnP/H/F RANSAC
     lmItersTracking: int = 10  # per-round LM iterations for motion-only BA
     lmRoundsTracking: int = 4  # outlier-reclassification rounds (ref pnpsolver)

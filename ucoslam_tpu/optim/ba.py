@@ -648,7 +648,7 @@ def _build_cam_obs(obs_cam: np.ndarray, K: int, O_pad: int) -> np.ndarray:
     pos = np.nonzero((obs_cam >= 0) & (obs_cam < K))[0]  # skip pad obs
     cams_all = obs_cam[pos]
     counts = np.bincount(cams_all, minlength=K) if len(cams_all) else np.zeros(K, int)
-    co = max(32, -(-int(counts.max() if len(counts) else 1) // 128) * 128)
+    co = max(256, -(-int(counts.max() if len(counts) else 1) // 256) * 256)
     tbl = np.full((K, co), -1, np.int32)
     order = np.argsort(cams_all, kind="stable")
     cams = cams_all[order]
@@ -757,9 +757,12 @@ def build_ba_problem(
     def bucket(n: int, quantum: int) -> int:
         return max(quantum, -(-n // quantum) * quantum)
 
-    Kb = bucket(len(all_kfs), 8)
-    Pb = bucket(len(pt_slots), 512)
-    Ob = bucket(max(O, 1), 2048)
+    # coarse quanta: compute is cheap on the MXU, XLA compiles are not —
+    # fewer distinct shape buckets means fewer (tens-of-seconds) compiles
+    # as the map grows through a sequence
+    Kb = bucket(len(all_kfs), 16)
+    Pb = bucket(len(pt_slots), 2048)
+    Ob = bucket(max(O, 1), 8192)
 
     cam_fixed = np.asarray([int(s) in fixed_set for s in all_kfs])
     cam_pose = np.tile(np.eye(4, dtype=np.float32), (Kb, 1, 1))
@@ -1051,15 +1054,23 @@ def global_bundle_adjustment(
 
 def local_bundle_adjustment(
     world_map: Map, cam: CameraParams, center_kf: int, n_iters: int = 15,
-    max_window: int = 8,
+    max_window: int | None = None,
 ) -> int:
     """Covis-window BA around a keyframe (the mapping thread's local BA,
-    mapmanager.cpp:10815-11373): neighbours optimized, boundary fixed."""
+    mapmanager.cpp:10815-11373): neighbours optimized, boundary fixed.
+
+    max_window=None (default) takes the FULL local covis set — every
+    neighbour sharing >= 15 observations — like the reference
+    (used_frames = local covis set); a cap remains available for
+    latency-bound callers. Dense revisited areas stay fully optimized
+    because the CG Schur path scales linearly with window size.
+    """
     covis = world_map.covis_matrix()
     w = covis[center_kf].copy()
     w[center_kf] = 0
     order = np.argsort(-w)
-    window = [center_kf] + [int(s) for s in order[: max_window - 1] if w[s] >= 15]
+    cap = (len(order) + 1) if max_window is None else max_window
+    window = [center_kf] + [int(s) for s in order[: cap - 1] if w[s] >= 15]
     if len(window) < 2:
         return 0
     # boundary: keyframes sharing points with the window but not in it

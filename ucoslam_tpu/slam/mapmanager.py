@@ -323,7 +323,7 @@ class MapManager:
             with timers.stage("localBA"):
                 local_bundle_adjustment(
                     world_map, self.cam, kf_slot, n_iters=10,
-                    max_window=p.maxLocalKeyFrames,
+                    max_window=p.maxLocalKeyFrames or None,
                 )
         # refresh point normals / scale bounds / representative descriptors
         # (updatePointNormalAndDistances, globaloptimizer_g2o.cpp:466-537)
