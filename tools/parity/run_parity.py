@@ -23,6 +23,12 @@ import subprocess
 import sys
 import time
 
+# The PARENT never touches the TPU: the axon worker tolerates exactly one
+# client process, and the engine subprocess must be it. Renders/evaluation
+# here run on CPU jax.
+os.environ["PALLAS_AXON_POOL_IPS"] = ""
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+
 import numpy as np
 
 REPO = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -86,18 +92,25 @@ def run_ref(dataset, camyml, out_prefix, extra, voc=None):
 
 def run_tpu(dataset, camyml, out_dir, stereo=False, markers=False, frames=0,
             voc=None):
-    """Run our engine through the production CLI harness (two-pass)."""
-    from ucoslam_tpu.apps import test_sequence
+    """Run our engine through the production CLI harness (two-pass).
 
-    argv = ["--dataset", dataset, "--out-dir", out_dir, "--camera", camyml,
+    Runs as a SUBPROCESS: the TPU tunnel client must own the process —
+    sharing one process between the scenario renderer's jax context and
+    the engine run destabilizes the axon worker (observed crashes)."""
+    argv = [sys.executable, "-m", "ucoslam_tpu.apps.test_sequence",
+            "--dataset", dataset, "--out-dir", out_dir, "--camera", camyml,
             "--voc", voc or "none"]
     if stereo:
         argv += ["--stereo", "--format", "euroc"]
     else:
         argv += ["--format", "tum"]
     t0 = time.time()
-    rc = test_sequence.main(argv)
-    assert rc == 0
+    env = dict(os.environ)
+    # hand the TPU back to the child (undo the parent's CPU pin)
+    env.pop("JAX_PLATFORMS", None)
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    r = subprocess.run(argv, timeout=7200, cwd=REPO, env=env)
+    assert r.returncode == 0, f"test_sequence failed rc={r.returncode}"
     return {"wall_s": time.time() - t0}
 
 

@@ -22,6 +22,9 @@ def enable_compile_cache(cache_dir: str | None = None) -> None:
 
     try:
         d = cache_dir or os.environ.get("UCOSLAM_JAX_CACHE", _DEFAULT_DIR)
+        # one cache per backend: CPU-AOT entries compiled under the TPU
+        # host's machine profile SIGILL-risk on this host (and vice versa)
+        d = os.path.join(d, jax.default_backend())
         os.makedirs(d, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", d)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
