@@ -233,6 +233,7 @@ static void refine_corners(const uint8_t* gray, int w, int h, Pt q[4]) {
         // max-gradient offset along the normal in [-2, 2]
         double sx = 0, sy = 0, sxx = 0, sxy = 0;
         int cnt = 0;
+        float acc_x = 0.0f, acc_y = 0.0f;  // refined-sample centroid
         for (int s = 0; s < 12; ++s) {
             float t = 0.2f + 0.6f * s / 11.0f;
             float px = a.x + t * ex, py = a.y + t * ey;
@@ -253,14 +254,14 @@ static void refine_corners(const uint8_t* gray, int w, int h, Pt q[4]) {
             double u = t * elen;
             sx += u; sy += 0; sxx += u * u; (void)sxy;
             // accumulate refined point for a least-squares line through them
-            lines[e][0].x += rx; lines[e][0].y += ry;
+            acc_x += rx; acc_y += ry;
             ++cnt;
         }
         if (cnt >= 4) {
             // direction: principal axis via two extreme refined samples kept
             // simple — use original edge direction, refined centroid
-            lines[e][0].x = lines[e][0].x / cnt;
-            lines[e][0].y = lines[e][0].y / cnt;
+            lines[e][0].x = acc_x / cnt;
+            lines[e][0].y = acc_y / cnt;
         } else {
             lines[e][0] = {(a.x + b.x) * 0.5f, (a.y + b.y) * 0.5f};
         }

@@ -91,7 +91,7 @@ def run_ref(dataset, camyml, out_prefix, extra, voc=None):
 
 
 def run_tpu(dataset, camyml, out_dir, stereo=False, markers=False, frames=0,
-            voc=None):
+            voc=None, params=None):
     """Run our engine through the production CLI harness (two-pass).
 
     Runs as a SUBPROCESS: the TPU tunnel client must own the process —
@@ -100,6 +100,8 @@ def run_tpu(dataset, camyml, out_dir, stereo=False, markers=False, frames=0,
     argv = [sys.executable, "-m", "ucoslam_tpu.apps.test_sequence",
             "--dataset", dataset, "--out-dir", out_dir, "--camera", camyml,
             "--voc", voc or "none"]
+    if params:
+        argv += ["--params", params]
     if stereo:
         argv += ["--stereo", "--format", "euroc"]
     else:
@@ -135,16 +137,35 @@ def build_scenario(name, out, frames, seed=5):
         )
         if not os.path.exists(os.path.join(root, "rgb.txt")):
             write_synthetic_tum(seq, root)
+        # our engine needs the marker size through Params (the reference
+        # driver takes -aruco-size); write a params YML carrying the
+        # harness defaults + the marker size
+        from ucoslam_tpu.config import Params
+
+        pyml = os.path.join(out, "markers_params.yml")
+        Params().replace(
+            maxMapPoints=8192, maxKeyFrames=64, maxKeyPointsPerFrame=1024,
+            maxDescDistance=60.0, aruco_markerSize=0.6,
+        ).save_yml(pyml)
         return (
             root,
             os.path.join(root, "groundtruth.txt"),
             ["-markers", "-aruco-size", "0.6"],
-            {"markers": True},
+            {"markers": True, "params": pyml},
             seq.cam,
         )
     if name == "stereo":
-        seq = SyntheticSequence(n_frames=frames, n_points=1600, seed=seed,
-                                depth_mode="stereo")
+        from ucoslam_tpu.geometry.camera import CameraParams
+
+        # baseline 0.25: the reference's stereo init needs CLOSE points
+        # (z < 40*bl, imageparams.h:105); the scene sits at 3-8 m, so
+        # bl=0.1 would leave the close-point test starved and its
+        # depth-init path never fires (verified via shim on libucoslam)
+        cam = CameraParams.create(
+            500.0, 500.0, 320.0, 240.0, width=640, height=480, bl=0.25
+        )
+        seq = SyntheticSequence(cam=cam, n_frames=frames, n_points=1600,
+                                seed=seed, depth_mode="stereo")
         if not os.path.exists(os.path.join(root, "mav0")):
             write_synthetic_euroc(seq, root, stereo=True)
         gt = os.path.join(root, "gt_tum.txt")

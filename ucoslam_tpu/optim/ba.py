@@ -803,13 +803,32 @@ def build_ba_problem(
         kf_mk_slot = np.asarray(st.kf_mk_slot)
         kf_mk_corners = np.asarray(st.kf_mk_corners)
 
-        # vertex set: valid-pose markers observed by any window keyframe
+        # vertex set: valid-pose markers observed by any window keyframe.
+        # Markers whose stored pose is grossly inconsistent with their
+        # PHYSICAL size (scale-mismatched entries from a not-yet-metric
+        # map) are excluded — their 8D edges would fight every keypoint
+        # edge (reference: bad markers simply never get a valid pose).
+        from ucoslam_tpu.slam.markermap import _reproj_corner_err
+
         seen: dict[int, list[tuple[int, int]]] = {}
         for ci, s in enumerate(all_kfs):
             for j in range(kf_mk_slot.shape[1]):
                 slot = int(kf_mk_slot[s, j])
                 if slot >= 0 and mk_pose_valid[slot]:
                     seen.setdefault(slot, []).append((ci, j))
+        kf_pose_arr = np.asarray(st.kf_pose)
+        consistent = {}
+        for slot, obs_l in seen.items():
+            errs = [
+                _reproj_corner_err(
+                    mk_pose_arr[slot], kf_pose_arr[all_kfs[ci]],
+                    kf_mk_corners[all_kfs[ci], j], float(mk_size[slot]), cam,
+                )
+                for ci, j in obs_l[:4]
+            ]
+            if np.mean(errs) < 20.0:
+                consistent[slot] = obs_l
+        seen = consistent
         mk_slots = np.asarray(sorted(seen), np.int32)
         if len(mk_slots):
             mk_vidx = {int(s): i for i, s in enumerate(mk_slots)}
@@ -1006,7 +1025,15 @@ def _resolve_ba_mesh(n_points: int):
         return None
     if _ba_mesh != "auto":
         return _ba_mesh
-    if len(jax.devices()) > 1 and n_points >= DIST_BA_MIN_POINTS:
+    # auto-dispatch only on REAL accelerator meshes: virtual CPU devices
+    # timeshare the host (no speedup) and their psum arrival order is not
+    # bitwise stable, which breaks sequential-mode determinism — the
+    # virtual mesh remains reachable explicitly via set_ba_mesh(mesh)
+    if (
+        len(jax.devices()) > 1
+        and jax.default_backend() != "cpu"
+        and n_points >= DIST_BA_MIN_POINTS
+    ):
         from ucoslam_tpu.parallel.mesh import make_mesh
 
         return make_mesh()

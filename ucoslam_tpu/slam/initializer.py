@@ -216,7 +216,10 @@ class MapInitializer:
                 ) + _reproj_corner_err(g2m, T_cur, cund, size, self.cam)
                 if err < best_err:
                     best, best_err = (g2m, T_cur), err
-        if best is None or best_err > 4.0:
+        # the gate must admit real-detector corner noise (the native
+        # detector lands 1-4 px off on rendered markers); best_err sums
+        # TWO per-view RMS errors
+        if best is None or best_err > 10.0:
             return None
         g2m, T_cur = best
         return float(np.linalg.norm(T_cur[:3, 3])), ri, g2m.astype(np.float32)

@@ -146,6 +146,11 @@ class MapManager:
         self.cam = cam
         self.kf_counter = 0
         self.last_scale_correction = 1.0  # set when marker scale rescales the map
+        # True once the map is known to be metric (marker/depth init, or
+        # one marker-based rescale applied): metric maps are never
+        # rescaled again — repeated corrections on noisy fits jitter the
+        # whole world (the reference's scale is fixed at initialization)
+        self.metric_locked = False
         self.kfdb = kfdb if kfdb is not None else KeyFrameDataBase(params.maxKeyFrames)
         self.loop_detector = LoopDetector(params, cam, self.kfdb)
         self.loop_closures = 0  # loops accepted (bigChange counter)
@@ -303,14 +308,23 @@ class MapManager:
 
             slots = resolve_marker_slots(world_map, frame.markers)
             record_marker_observations(world_map, kf_slot, frame.markers, slots)
-            update_marker_poses(world_map, self.cam, p)
-            # metric-scale correction from multi-view marker size fits
-            from ucoslam_tpu.slam.markermap import estimate_metric_scale
+            if not self.metric_locked:
+                # keypoint-initialized map, scale unknown: markers stay
+                # pose-less until ONE marker-based rescale makes the map
+                # metric (a metric marker pose in a non-metric map would
+                # poison every BA edge it touches)
+                from ucoslam_tpu.slam.markermap import (
+                    estimate_scale_from_pending_markers,
+                )
 
-            s = estimate_metric_scale(world_map, self.cam)
-            if s is not None and 0.5 < s < 2.0 and abs(s - 1.0) > 0.02:
-                world_map.scale(s)
-                self.last_scale_correction = s
+                s = estimate_scale_from_pending_markers(world_map, self.cam, p)
+                if s is not None and 0.05 < s < 20.0:
+                    if abs(s - 1.0) > 0.02:
+                        world_map.scale(s)
+                        self.last_scale_correction = s
+                    self.metric_locked = True
+            if self.metric_locked:
+                update_marker_poses(world_map, self.cam, p)
 
         self._create_stereo_points(world_map, kf_slot, frame)
         self._create_epipolar_points(world_map, kf_slot, frame)
@@ -321,9 +335,14 @@ class MapManager:
             from ucoslam_tpu.utils import timers
 
             with timers.stage("localBA"):
+                # full local covis window (reference semantics) in
+                # sequential mode; async mapping caps it — a long BA over
+                # many keyframes in the worker publishes stale corrections
+                # that measurably hurt tracking (async ATE regression)
+                cap = p.maxLocalKeyFrames or (None if self._thread is None else 8)
                 local_bundle_adjustment(
                     world_map, self.cam, kf_slot, n_iters=10,
-                    max_window=p.maxLocalKeyFrames or None,
+                    max_window=cap,
                 )
         # refresh point normals / scale bounds / representative descriptors
         # (updatePointNormalAndDistances, globaloptimizer_g2o.cpp:466-537)

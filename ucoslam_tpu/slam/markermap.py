@@ -136,6 +136,8 @@ def update_marker_poses(world_map: Map, cam: CameraParams, params: Params) -> in
                     best, best_err = g2m, err
         if best is None or best_err > 4.0:  # px, all views must agree
             continue
+        if not np.isfinite(best).all():
+            continue
         world_map.state = world_map.state._replace(
             mk_pose=world_map.state.mk_pose.at[slot].set(
                 jnp.asarray(best.astype(np.float32))
@@ -187,6 +189,84 @@ def _fit_marker_pose_size(kf_poses, corners, view_valid, cam: CameraParams,
     return g2m, size, rms
 
 
+def estimate_scale_from_pending_markers(
+    world_map: Map, cam: CameraParams, params: Params
+) -> float | None:
+    """Metric-scale correction for a NOT-yet-metric map from markers that
+    have no pose yet.
+
+    For each pending marker with >= 2 well-separated views: take the best
+    IPPE candidate (metric units), jointly fit pose + free size to the
+    map-scale keyframes, and read physical_size / fitted_size as the map's
+    scale correction. Runs ONCE — after the map is rescaled the manager
+    locks metric and markers get plain candidate poses. Returns the median
+    correction or None.
+    """
+    from ucoslam_tpu.markers.ippe import ippe_square_poses
+
+    st = world_map.state
+    mk_active = np.asarray(st.mk_active)
+    mk_pose_valid = np.asarray(st.mk_pose_valid)
+    kf_active = np.asarray(st.kf_active)
+    kf_mk_slot = np.asarray(st.kf_mk_slot)
+    kf_mk_corners = np.asarray(st.kf_mk_corners)
+    kf_pose = np.asarray(st.kf_pose)
+    ratios = []
+    for slot in np.nonzero(mk_active & ~mk_pose_valid)[0]:
+        obs = []
+        for k in np.nonzero(kf_active)[0]:
+            sel = np.nonzero(kf_mk_slot[k] == slot)[0]
+            if len(sel):
+                obs.append((k, kf_mk_corners[k, sel[0]]))
+        if len(obs) < 2:
+            continue
+        # size/depth are indistinguishable without baseline
+        centers = np.stack(
+            [-kf_pose[k][:3, :3].T @ kf_pose[k][:3, 3] for k, _ in obs]
+        )
+        spread = np.linalg.norm(centers - centers.mean(0), axis=1).max()
+        size = float(np.asarray(st.mk_size)[slot])
+        PAD = 8
+        obs = obs[:PAD]
+        # best IPPE candidate across views/solutions (metric units)
+        corners_np = np.stack([c for _, c in obs])
+        p1, p2, e1, e2 = ippe_square_poses(
+            jnp.asarray(np.concatenate([corners_np,
+                np.repeat(corners_np[:1], PAD - len(obs), 0)])),
+            jnp.full(PAD, size), cam,
+        )
+        best, best_self = None, np.inf
+        for i, (k, _) in enumerate(obs):
+            for pose_k in (np.asarray(p1[i]), np.asarray(p2[i])):
+                g2m = np.linalg.inv(kf_pose[k]) @ pose_k
+                err = _reproj_corner_err(g2m, kf_pose[k], obs[i][1], size, cam)
+                if err < best_self:
+                    best, best_self = g2m, err
+        if best is None or not np.isfinite(best).all():
+            continue
+        mk_dist = float(np.linalg.norm(centers.mean(0) - best[:3, 3]))
+        if spread < 0.03 * max(mk_dist, 1e-6):
+            continue
+        vposes = np.tile(np.eye(4, dtype=np.float32), (PAD, 1, 1))
+        vcorners = np.zeros((PAD, 4, 2), np.float32)
+        for i, (k, c) in enumerate(obs):
+            vposes[i] = kf_pose[k]
+            vcorners[i] = c
+        vvalid = jnp.asarray(np.arange(PAD) < len(obs))
+        g2m_f, size_f, rms = _fit_marker_pose_size(
+            jnp.asarray(vposes), jnp.asarray(vcorners), vvalid, cam,
+            jnp.asarray(best.astype(np.float32)), jnp.float32(size),
+        )
+        if float(rms) > 3.0 or float(size_f) <= 1e-6:
+            continue
+        if not np.isfinite(np.asarray(g2m_f)).all():
+            continue
+        ratios.append(size / float(size_f))
+    if not ratios:
+        return None
+    return float(np.median(ratios))
+
+
 def estimate_metric_scale(world_map: Map, cam: CameraParams) -> float | None:
     """Median metric-scale correction from all multi-view markers.
 
@@ -208,6 +288,17 @@ def estimate_metric_scale(world_map: Map, cam: CameraParams) -> float | None:
             if len(sel):
                 obs.append((k, kf_mk_corners[k, sel[0]]))
         if len(obs) < 2:
+            continue
+        # size/depth are indistinguishable without baseline: skip markers
+        # whose observing cameras are nearly coincident relative to the
+        # marker distance (the fit would slide along the view ray)
+        centers = np.stack(
+            [-kf_pose[k][:3, :3].T @ kf_pose[k][:3, 3] for k, _ in obs]
+        )
+        spread = np.linalg.norm(centers - centers.mean(0), axis=1).max()
+        mk_t = np.asarray(st.mk_pose)[slot][:3, 3]
+        mean_dist = float(np.linalg.norm(centers - mk_t, axis=1).mean())
+        if spread < 0.03 * max(mean_dist, 1e-6):
             continue
         PAD = 8
         obs = obs[:PAD]

@@ -200,6 +200,7 @@ class System:
         ):
             ok, cur = self.initializer.initialize_from_markers(frame, self.map)
             if ok:
+                self.manager.metric_locked = True  # marker init is metric
                 return self._finish_init(frame, cur)
         if self.params.forceInitializationFromMarkers:
             self.initializer.set_reference_frame(frame)
@@ -208,6 +209,7 @@ class System:
         depth_frame = bool(np.asarray(frame.depth > 0).any())
         if depth_frame:
             if self.initializer.initialize_from_depth(frame, self.map):
+                self.manager.metric_locked = True  # stereo/RGB-D is metric
                 self.state = TrackingState.TRACKING
                 pose = np.eye(4, dtype=np.float32)
                 self._update_motion_model(pose)
@@ -230,6 +232,7 @@ class System:
             if has_markers and self._init_failures > 5:
                 ok, mcur = self.initializer.initialize_from_markers(frame, self.map)
                 if ok:
+                    self.manager.metric_locked = True
                     return self._finish_init(frame, mcur)
             # Re-seed only when the scene moved on (too few matches); a
             # geometric failure usually means insufficient baseline yet.
@@ -260,6 +263,7 @@ class System:
             return cur
         s = metric_baseline / map_baseline
         self.map.scale(s)
+        self.manager.metric_locked = True  # hybrid init is metric now
         # register the marker (metric pose; global frame = ref camera is
         # unaffected by the scaling)
         kf_slots = self.map.keyframes.active_slots()
