@@ -312,8 +312,11 @@ def _staged_lm(
     # reductions via static gather tables, one (V, 6)-float psum per CG
     # iteration when sharded.
     if solver == "auto":
+        # measured crossover on TPU v5e: dense ~3.3 ms per 1e9 assembly
+        # FLOPs; the CG path has ~40 ms fixed cost at mapping-rate sizes —
+        # dense stays faster until the quadratic term dominates
         use_cg = problem.cam_obs is not None and (
-            V >= 192 or V * V * P * 36.0 > 2e9
+            V >= 512 or V * V * P * 36.0 > 3e10
         )
     else:
         use_cg = solver == "cg"
@@ -392,9 +395,10 @@ def _staged_lm(
 
         # rhs correction: -sum_o Y_o bp[pt(o)] (keypoint obs only)
         Y = A @ Hpp_inv[problem.obs_pt]  # (O, 6, 3)
-        b_corr = -cam_reduce(jnp.einsum("oij,oj->oi", Y, bp[problem.obs_pt]))
+        bcorr_o = jnp.einsum("oij,oj->oi", Y, bp[problem.obs_pt])  # (O, 6)
 
         if use_cg:
+            b_corr = -cam_reduce(bcorr_o)
             # exact diagonal blocks of the Schur complement for the
             # block-Jacobi preconditioner: a camera never observes a point
             # twice, so only the m1 == m2 pair terms land on the diagonal
@@ -415,6 +419,7 @@ def _staged_lm(
             # S derives from the local point shard, so it is already
             # device-varying in sharded mode — no pcast needed
             S = -(GY @ GA.T).reshape(V, 6, V, 6).transpose(0, 2, 1, 3)
+            b_corr = -cam_reduce(bcorr_o)
             # ---- the one collective per step: reduce the camera system --
             Hv, bv, S, b_corr = psum((Hv, bv, S, b_corr))
 
