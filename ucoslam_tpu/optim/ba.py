@@ -808,32 +808,15 @@ def build_ba_problem(
         kf_mk_slot = np.asarray(st.kf_mk_slot)
         kf_mk_corners = np.asarray(st.kf_mk_corners)
 
-        # vertex set: valid-pose markers observed by any window keyframe.
-        # Markers whose stored pose is grossly inconsistent with their
-        # PHYSICAL size (scale-mismatched entries from a not-yet-metric
-        # map) are excluded — their 8D edges would fight every keypoint
-        # edge (reference: bad markers simply never get a valid pose).
-        from ucoslam_tpu.slam.markermap import _reproj_corner_err
-
+        # vertex set: valid-pose markers observed by any window keyframe
+        # (the metric lock in slam/mapmanager guarantees stored poses are
+        # map-scale-consistent, so every valid pose may enter BA)
         seen: dict[int, list[tuple[int, int]]] = {}
         for ci, s in enumerate(all_kfs):
             for j in range(kf_mk_slot.shape[1]):
                 slot = int(kf_mk_slot[s, j])
                 if slot >= 0 and mk_pose_valid[slot]:
                     seen.setdefault(slot, []).append((ci, j))
-        kf_pose_arr = np.asarray(st.kf_pose)
-        consistent = {}
-        for slot, obs_l in seen.items():
-            errs = [
-                _reproj_corner_err(
-                    mk_pose_arr[slot], kf_pose_arr[all_kfs[ci]],
-                    kf_mk_corners[all_kfs[ci], j], float(mk_size[slot]), cam,
-                )
-                for ci, j in obs_l[:4]
-            ]
-            if np.mean(errs) < 20.0:
-                consistent[slot] = obs_l
-        seen = consistent
         mk_slots = np.asarray(sorted(seen), np.int32)
         if len(mk_slots):
             mk_vidx = {int(s): i for i, s in enumerate(mk_slots)}
