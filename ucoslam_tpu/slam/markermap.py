@@ -267,65 +267,6 @@ def estimate_scale_from_pending_markers(
     return float(np.median(ratios))
 
 
-def estimate_metric_scale(world_map: Map, cam: CameraParams) -> float | None:
-    """Median metric-scale correction from all multi-view markers.
-
-    Returns s such that world_map.scale(s) puts the map in meters, or None
-    when no marker has enough baseline-bearing observations.
-    """
-    st = world_map.state
-    mk_active = np.asarray(st.mk_active)
-    mk_pose_valid = np.asarray(st.mk_pose_valid)
-    kf_active = np.asarray(st.kf_active)
-    kf_mk_slot = np.asarray(st.kf_mk_slot)
-    kf_mk_corners = np.asarray(st.kf_mk_corners)
-    kf_pose = np.asarray(st.kf_pose)
-    ratios = []
-    for slot in np.nonzero(mk_active & mk_pose_valid)[0]:
-        obs = []
-        for k in np.nonzero(kf_active)[0]:
-            sel = np.nonzero(kf_mk_slot[k] == slot)[0]
-            if len(sel):
-                obs.append((k, kf_mk_corners[k, sel[0]]))
-        if len(obs) < 2:
-            continue
-        # size/depth are indistinguishable without baseline: skip markers
-        # whose observing cameras are nearly coincident relative to the
-        # marker distance (the fit would slide along the view ray)
-        centers = np.stack(
-            [-kf_pose[k][:3, :3].T @ kf_pose[k][:3, 3] for k, _ in obs]
-        )
-        spread = np.linalg.norm(centers - centers.mean(0), axis=1).max()
-        mk_t = np.asarray(st.mk_pose)[slot][:3, 3]
-        mean_dist = float(np.linalg.norm(centers - mk_t, axis=1).mean())
-        if spread < 0.03 * max(mean_dist, 1e-6):
-            continue
-        PAD = 8
-        obs = obs[:PAD]
-        poses_np = np.tile(np.eye(4, dtype=np.float32), (PAD, 1, 1))
-        corners_np = np.zeros((PAD, 4, 2), np.float32)
-        for i, (k, c) in enumerate(obs):
-            poses_np[i] = kf_pose[k]
-            corners_np[i] = c
-        vvalid = jnp.asarray(np.arange(PAD) < len(obs))
-        size_phys = float(np.asarray(st.mk_size)[slot])
-        g2m0 = jnp.asarray(np.asarray(st.mk_pose)[slot])
-        g2m, size_fit, rms = _fit_marker_pose_size(
-            jnp.asarray(poses_np), jnp.asarray(corners_np), vvalid, cam, g2m0,
-            jnp.float32(size_phys),
-        )
-        if float(rms) > 3.0 or float(size_fit) <= 1e-6:
-            continue
-        ratios.append(size_phys / float(size_fit))
-        # keep the refitted pose (map-scale-consistent)
-        world_map.state = world_map.state._replace(
-            mk_pose=world_map.state.mk_pose.at[slot].set(g2m)
-        )
-    if not ratios:
-        return None
-    return float(np.median(ratios))
-
-
 def best_pose_from_valid_markers(
     world_map: Map,
     markers: FrameMarkers,
