@@ -186,6 +186,7 @@ def main(argv=None) -> int:
     i = 0
     last_ckpt_frame = 0
     recovered = 0
+    recoveries_here = 0
     with trace_cm:
         while i < n:
             if get_right is not None:
@@ -201,21 +202,27 @@ def main(argv=None) -> int:
             if args.save_every and i > 0 and i % args.save_every == 0:
                 slam.saveToFile(ckpt_path)
                 last_ckpt_frame = i
+                recoveries_here = 0
             if (
                 args.recovery
                 and pose is None
                 and slam.map.n_keyframes > 2
                 and os.path.exists(ckpt_path)
                 and i - last_ckpt_frame > 15
+                and recoveries_here < 3
             ):
                 # rollback protocol: reload checkpoint, rewind 15 frames,
-                # tighten KF params temporarily (test_sequence.cpp:268-296)
+                # tighten KF params temporarily (test_sequence.cpp:268-296).
+                # Deterministic replays re-lose identically, so at most 3
+                # rollbacks per checkpoint region — then carry on forward
+                # (reloc may still re-acquire the map later).
                 slam.readFromFile(ckpt_path, cam)
                 slam._params = slam._params.replace(
                     KFMinConfidence=0.9, KFCulling=0.9
                 )
                 i = max(last_ckpt_frame, i - 15)
                 recovered += 1
+                recoveries_here += 1
                 continue
             i += 1
     slam.waitForFinished()
