@@ -219,65 +219,134 @@ static int dict_lookup(uint64_t code, const uint64_t* dict, int dict_size,
 }
 
 // ------------------------------------------------------ corner refinement
-// Refine each corner to the intersection of the two adjacent edge lines,
-// each fitted to intensity-gradient extrema sampled along the edge.
+// Refine each corner to the intersection of the two adjacent edge lines.
+// Each edge line is fitted by TOTAL least squares (principal axis) to
+// subpixel gradient-maximum points sampled along the edge: per sample, the
+// directional gradient along the edge normal is evaluated with BILINEAR
+// interpolation on a fine offset grid and its peak is localized with a
+// parabolic fit. On hard (non-antialiased) edges a single sample is only
+// good to ~half a pixel, but the line fit over many samples with varying
+// subpixel phase recovers the edge to well under 0.1 px — the same
+// principle as the reference aruco's lines/corner refinement
+// (3rdparty/aruco markerdetector corner refinement modes).
+static inline float bilinear(const uint8_t* gray, int w, int h, float x, float y) {
+    if (x < 0) x = 0;
+    if (y < 0) y = 0;
+    if (x > (float)w - 1.001f) x = (float)w - 1.001f;
+    if (y > (float)h - 1.001f) y = (float)h - 1.001f;
+    int ix = (int)x, iy = (int)y;
+    float fx = x - ix, fy = y - iy;
+    const uint8_t* p = gray + (size_t)iy * w + ix;
+    return p[0] * (1 - fx) * (1 - fy) + p[1] * fx * (1 - fy) +
+           p[w] * (1 - fx) * fy + p[w + 1] * fx * fy;
+}
+
 static void refine_corners(const uint8_t* gray, int w, int h, Pt q[4]) {
-    Pt lines[4][2];  // point + direction per edge
-    for (int e = 0; e < 4; ++e) {
-        Pt a = q[e], b = q[(e + 1) & 3];
-        float ex = b.x - a.x, ey = b.y - a.y;
-        float elen = std::sqrt(ex * ex + ey * ey);
-        if (elen < 8) { lines[e][0] = a; lines[e][1] = {ex, ey}; continue; }
-        float nx = -ey / elen, ny = ex / elen;  // edge normal
-        // sample points along the middle 60% of the edge; for each, find the
-        // max-gradient offset along the normal in [-2, 2]
-        double sx = 0, sy = 0, sxx = 0, sxy = 0;
-        int cnt = 0;
-        float acc_x = 0.0f, acc_y = 0.0f;  // refined-sample centroid
-        for (int s = 0; s < 12; ++s) {
-            float t = 0.2f + 0.6f * s / 11.0f;
-            float px = a.x + t * ex, py = a.y + t * ey;
-            float best_o = 0, best_g = -1;
-            for (float o = -2.0f; o <= 2.0f; o += 0.5f) {
-                float x0 = px + (o - 0.75f) * nx, y0 = py + (o - 0.75f) * ny;
-                float x1 = px + (o + 0.75f) * nx, y1 = py + (o + 0.75f) * ny;
-                int ix0 = (int)(x0 + 0.5f), iy0 = (int)(y0 + 0.5f);
-                int ix1 = (int)(x1 + 0.5f), iy1 = (int)(y1 + 0.5f);
-                if (ix0 < 0 || iy0 < 0 || ix0 >= w || iy0 >= h) continue;
-                if (ix1 < 0 || iy1 < 0 || ix1 >= w || iy1 >= h) continue;
-                float g = std::fabs((float)gray[iy1 * w + ix1] -
-                                    (float)gray[iy0 * w + ix0]);
-                if (g > best_g) { best_g = g; best_o = o; }
+    struct Line { Pt p, d; bool ok; };
+    for (int pass = 0; pass < 2; ++pass) {
+        Line lines[4];
+        for (int e = 0; e < 4; ++e) {
+            Pt a = q[e], b = q[(e + 1) & 3];
+            float ex = b.x - a.x, ey = b.y - a.y;
+            float elen = std::sqrt(ex * ex + ey * ey);
+            lines[e] = {{(a.x + b.x) * 0.5f, (a.y + b.y) * 0.5f},
+                        {ex / std::max(elen, 1e-6f), ey / std::max(elen, 1e-6f)},
+                        false};
+            if (elen < 8) continue;
+            float nx = -ey / elen, ny = ex / elen;  // edge normal
+            int S = (int)std::min(32.0f, std::max(8.0f, elen * 0.5f));
+            const float step = 0.25f, half = 0.7f;
+            // TLS accumulators over refined subpixel edge points
+            double mx = 0, my = 0, sxx = 0, sxy = 0, syy = 0;
+            int cnt = 0;
+            Pt samples[32];
+            for (int s = 0; s < S; ++s) {
+                float t = 0.12f + 0.76f * (float)s / (float)(S - 1);
+                float px = a.x + t * ex, py = a.y + t * ey;
+                // directional-gradient profile along the normal
+                float best_g = -1, best_o = 0;
+                float prev_g = -1, g_at[64];
+                int K = 0;
+                for (float o = -2.0f; o <= 2.001f; o += step, ++K) {
+                    float g = std::fabs(
+                        bilinear(gray, w, h, px + (o + half) * nx, py + (o + half) * ny) -
+                        bilinear(gray, w, h, px + (o - half) * nx, py + (o - half) * ny));
+                    g_at[K] = g;
+                    if (g > best_g) { best_g = g; best_o = o; }
+                }
+                (void)prev_g;
+                if (best_g < 20) continue;  // no clear edge here
+                // parabolic subpixel peak on the gradient profile
+                int ki = (int)((best_o + 2.0f) / step + 0.5f);
+                if (ki > 0 && ki < K - 1) {
+                    float gm = g_at[ki - 1], g0 = g_at[ki], gp = g_at[ki + 1];
+                    float den = gm - 2 * g0 + gp;
+                    if (std::fabs(den) > 1e-6f) {
+                        float d = 0.5f * (gm - gp) / den;
+                        if (d > -1 && d < 1) best_o += d * step;
+                    }
+                }
+                float rx = px + best_o * nx, ry = py + best_o * ny;
+                samples[cnt % 32] = {rx, ry};
+                mx += rx; my += ry;
+                ++cnt;
             }
-            if (best_g < 10) continue;
-            float rx = px + best_o * nx, ry = py + best_o * ny;
-            double u = t * elen;
-            sx += u; sy += 0; sxx += u * u; (void)sxy;
-            // accumulate refined point for a least-squares line through them
-            acc_x += rx; acc_y += ry;
-            ++cnt;
+            if (cnt < 5) continue;
+            int n_use = std::min(cnt, 32);
+            // trimmed TLS: fit, drop samples far off the line (a sample that
+            // latched onto a texture edge instead of the marker edge), refit
+            double fmx = 0, fmy = 0, fdx = 0, fdy = 0;
+            bool fit_ok = false;
+            bool keep[32];
+            for (int i = 0; i < n_use; ++i) keep[i] = true;
+            for (int trim = 0; trim < 2; ++trim) {
+                mx = my = sxx = sxy = syy = 0;
+                int m = 0;
+                for (int i = 0; i < n_use; ++i)
+                    if (keep[i]) { mx += samples[i].x; my += samples[i].y; ++m; }
+                if (m < 5) break;
+                mx /= m; my /= m;
+                for (int i = 0; i < n_use; ++i) {
+                    if (!keep[i]) continue;
+                    double dx = samples[i].x - mx, dy = samples[i].y - my;
+                    sxx += dx * dx; sxy += dx * dy; syy += dy * dy;
+                }
+                // principal axis of the 2x2 covariance = TLS line direction
+                double tr = sxx + syy, det = sxx * syy - sxy * sxy;
+                double lam = 0.5 * tr + std::sqrt(std::max(0.25 * tr * tr - det, 0.0));
+                double dx = sxy, dy = lam - sxx;
+                double dn = std::sqrt(dx * dx + dy * dy);
+                if (dn < 1e-9) { dx = lam - syy; dy = sxy; dn = std::sqrt(dx * dx + dy * dy); }
+                if (dn < 1e-9) break;
+                dx /= dn; dy /= dn;
+                fmx = mx; fmy = my; fdx = dx; fdy = dy; fit_ok = true;
+                if (trim == 1) break;
+                // residual = distance to the fitted line; drop > 0.6 px
+                int dropped = 0;
+                for (int i = 0; i < n_use; ++i) {
+                    if (!keep[i]) continue;
+                    double rx = samples[i].x - mx, ry = samples[i].y - my;
+                    double off = std::fabs(rx * dy - ry * dx);
+                    if (off > 0.6) { keep[i] = false; ++dropped; }
+                }
+                if (dropped == 0) break;
+            }
+            if (!fit_ok) continue;
+            // keep orientation consistent with the coarse edge direction
+            if (fdx * (ex / elen) + fdy * (ey / elen) < 0) { fdx = -fdx; fdy = -fdy; }
+            lines[e] = {{(float)fmx, (float)fmy}, {(float)fdx, (float)fdy}, true};
         }
-        if (cnt >= 4) {
-            // direction: principal axis via two extreme refined samples kept
-            // simple — use original edge direction, refined centroid
-            lines[e][0].x = acc_x / cnt;
-            lines[e][0].y = acc_y / cnt;
-        } else {
-            lines[e][0] = {(a.x + b.x) * 0.5f, (a.y + b.y) * 0.5f};
+        for (int c = 0; c < 4; ++c) {
+            // corner c = intersection of edge (c-1) and edge c
+            const Line& l1 = lines[(c + 3) & 3];
+            const Line& l2 = lines[c];
+            if (!l1.ok && !l2.ok) continue;
+            float den = l1.d.x * l2.d.y - l1.d.y * l2.d.x;
+            if (std::fabs(den) < 1e-6f) continue;
+            float t = ((l2.p.x - l1.p.x) * l2.d.y - (l2.p.y - l1.p.y) * l2.d.x) / den;
+            Pt r = {l1.p.x + t * l1.d.x, l1.p.y + t * l1.d.y};
+            if (std::hypot(r.x - q[c].x, r.y - q[c].y) < 4.0f) q[c] = r;
         }
-        lines[e][1] = {ex / elen, ey / elen};
-    }
-    for (int c = 0; c < 4; ++c) {
-        // corner c = intersection of edge (c-1) and edge c
-        const Pt& p1 = lines[(c + 3) & 3][0];
-        const Pt& d1 = lines[(c + 3) & 3][1];
-        const Pt& p2 = lines[c][0];
-        const Pt& d2 = lines[c][1];
-        float den = d1.x * d2.y - d1.y * d2.x;
-        if (std::fabs(den) < 1e-6f) continue;
-        float t = ((p2.x - p1.x) * d2.y - (p2.y - p1.y) * d2.x) / den;
-        Pt r = {p1.x + t * d1.x, p1.y + t * d1.y};
-        if (std::hypot(r.x - q[c].x, r.y - q[c].y) < 4.0f) q[c] = r;
     }
 }
 
@@ -297,12 +366,21 @@ int aruco_detect(const uint8_t* gray, int w, int h,
         dict_size = ARUCO_MIP_36H12_SIZE;
         nbits_side = 6;
     }
-    std::vector<uint8_t> bin;
-    adaptive_threshold(gray, w, h, 15, 7, bin);
-
-    std::vector<uint8_t> mark((size_t)w * h, 0);
+    // multi-scale adaptive threshold sweep (the reference aruco's
+    // DM_NORMAL thresholds at several window sizes; a single window misses
+    // markers whose local context is skewed by adjacent texture). Window
+    // order is small->large; duplicates across windows are merged by the
+    // same-id locality dedup below. max_correction < 0 encodes fast mode:
+    // one window only.
+    const int windows_all[3] = {15, 9, 27};
+    int n_windows = max_correction < 0 ? 1 : 3;
+    if (max_correction < 0) max_correction = 0;
     int found = 0;
+    std::vector<uint8_t> bin;
     std::vector<Pt> contour;
+    for (int wi = 0; wi < n_windows && found < max_out; ++wi) {
+    adaptive_threshold(gray, w, h, windows_all[wi], 7, bin);
+    std::vector<uint8_t> mark((size_t)w * h, 0);
     for (int y = 1; y < h - 1 && found < max_out; ++y) {
         for (int x = 1; x < w - 1 && found < max_out; ++x) {
             size_t idx = (size_t)y * w + x;
@@ -316,6 +394,11 @@ int aruco_detect(const uint8_t* gray, int w, int h,
             float area = quad_area(quad);
             if (std::fabs(area) < 100.0f) continue;
             if (area < 0) std::swap(quad[1], quad[3]);  // enforce CW in image
+            // refine corners BEFORE decoding: the DP vertices are integer
+            // contour pixels (±2 px), enough to shift the homography cell
+            // grid into the quiet zone on rotated markers and break the
+            // border test (observed failure mode on the parity scenes)
+            refine_corners(gray, w, h, quad);
 
             // sample (n+2)x(n+2) cells through the homography. Cells are
             // classified on GRAY values with a per-quad Otsu-style split:
@@ -354,15 +437,18 @@ int aruco_detect(const uint8_t* gray, int w, int h,
                 if (!cell_ok[cy * N + cx]) return -1;
                 return cell_mean[cy * N + cx] < split ? 1 : 0;  // 1 = ink
             };
-            // border must be entirely dark
-            bool border_ok = true;
-            for (int i = 0; i < N && border_ok; ++i) {
-                border_ok &= cell_value(0, i) == 1;
-                border_ok &= cell_value(N - 1, i) == 1;
-                border_ok &= cell_value(i, 0) == 1;
-                border_ok &= cell_value(i, N - 1) == 1;
+            // border must be dark; tolerate one contaminated cell (partial
+            // occlusion / sampling at the very edge of the quad)
+            int border_bad = 0;
+            for (int i = 0; i < N; ++i) {
+                border_bad += cell_value(0, i) != 1;
+                border_bad += cell_value(N - 1, i) != 1;
+                if (i > 0 && i < N - 1) {
+                    border_bad += cell_value(i, 0) != 1;
+                    border_bad += cell_value(i, N - 1) != 1;
+                }
             }
-            if (!border_ok) continue;
+            if (border_bad > 1) continue;
             uint64_t code = 0;
             bool valid = true;
             for (int cy = 0; cy < n && valid; ++cy)
@@ -377,7 +463,6 @@ int aruco_detect(const uint8_t* gray, int w, int h,
             int id = dict_lookup(code, dict, dict_size, n, max_correction, &rot);
             if (id < 0) continue;
 
-            refine_corners(gray, w, h, quad);
             // rotate corner order so corner 0 = dictionary TL
             Pt final_q[4];
             for (int i = 0; i < 4; ++i) final_q[i] = quad[(i + rot) & 3];
@@ -417,6 +502,7 @@ int aruco_detect(const uint8_t* gray, int w, int h,
             if (dup < 0) ++found;
         }
     }
+    }  // window sweep
     return found;
 }
 

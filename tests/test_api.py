@@ -131,3 +131,47 @@ class TestResumeSignatureParity:
             f"resume diverged at frame "
             f"{next(i for i, (a, b) in enumerate(zip(straight, resumed)) if a != b)}"
         )
+
+
+class TestMarkerDetectorRestore:
+    def test_read_from_file_restores_marker_detector(self, tmp_path):
+        """VERDICT r4 item 1a: readFromFile must reconstruct the marker
+        detector from Params exactly as setParams does (the reference
+        restores the full FrameExtractor config — aruco included — from
+        the stream, feature2dserializable.h:71). A reloaded marker-map
+        checkpoint fed a marker image must still detect, and the
+        metric_locked flag must survive (ADVICE r3 high)."""
+        from ucoslam_tpu.markers.native import native_available
+
+        if not native_available():
+            pytest.skip("native aruco library not built")
+        seq = SyntheticSequence(
+            n_frames=12, seed=3, n_points=700, n_markers=4, marker_size=0.8
+        )
+        params = PARAMS.replace(
+            detectMarkers=True, aruco_markerSize=0.8,
+            forceInitializationFromMarkers=True,
+            aruco_allowOneFrameInitialization=True,
+        )
+        slam = UcoSlam()
+        slam.setParams(None, params, seq.cam)
+        for i in range(seq.n_frames):
+            img = np.clip(seq.render(i), 0, 255).astype(np.uint8)
+            slam.process(img, fseq=i)
+        assert slam._system.manager.metric_locked
+        path = str(tmp_path / "marker_session.slm")
+        slam.saveToFile(path)
+
+        slam2 = UcoSlam()
+        slam2.readFromFile(path, seq.cam)
+        # the detector came back from Params
+        assert slam2._extractor.marker_detector is not None
+        assert slam2._extractor.marker_detector.available
+        # metric-ness survived the checkpoint (no second rescale possible)
+        assert slam2._system.manager.metric_locked
+        # a marker image still produces marker observations end-to-end
+        img = np.clip(seq.render(5), 0, 255).astype(np.uint8)
+        f = slam2._extractor.process(img, fseq=100)
+        assert bool(np.asarray(f.markers.valid).any()), (
+            "reloaded session no longer detects markers"
+        )

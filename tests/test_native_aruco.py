@@ -97,3 +97,30 @@ def test_second_dictionary_16h3():
     # wrong dictionary on the same image decodes nothing
     ids36, _ = detect_markers_native(img)
     assert len(ids36) == 0
+
+
+def test_corner_accuracy_vs_ground_truth():
+    """VERDICT r4 gate (item 9): native corner error vs EXACT projected
+    ground-truth corners on the rendered parity scene must be sub-0.2 px
+    mean (the reference's subpix corner refinement family; the native
+    TLS-line refinement in native/aruco_detector.cpp refine_corners)."""
+    import sys, os
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from tools.corner_accuracy import gt_corners_for_frame, best_match_err
+    from ucoslam_tpu.io.synthetic import SyntheticSequence
+
+    seq = SyntheticSequence(
+        n_frames=40, n_points=1600, n_markers=10, marker_size=0.6, seed=5
+    )
+    errs = []
+    for i in range(0, 40, 4):
+        img = np.clip(seq.render(i), 0, 255).astype(np.uint8)
+        gt = gt_corners_for_frame(seq, i)
+        ids, corners = detect_markers_native(img)
+        for mid, c in zip(ids, corners):
+            if int(mid) in gt:
+                errs.append(best_match_err(c, gt[int(mid)]))
+    assert len(errs) >= 10, f"too few detections ({len(errs)})"
+    e = np.array(errs)
+    assert e.mean() < 0.2, f"mean corner err {e.mean():.3f}px"
+    assert np.percentile(e, 90) < 0.35, f"p90 corner err {np.percentile(e,90):.3f}px"

@@ -18,6 +18,28 @@ from ucoslam_tpu.mapping.map import Map
 from ucoslam_tpu.slam.system import System
 
 
+def build_marker_detector_from_params(params: Params):
+    """Construct the aruco detector the way the reference's
+    System::setParams does from Params.aruco_* (frameextractor.cpp preserved
+    names getDetectionModeFromString / setCornerRefinementMethod;
+    ucoslamtypes.h:120-144). Returns None when detection is off or no
+    backend is available; shared by setParams AND readFromFile (the
+    reference restores the full FrameExtractor configuration — aruco
+    included — from the serialized stream, feature2dserializable.h:71)."""
+    if not params.detectMarkers:
+        return None
+    from ucoslam_tpu.markers.detector import ArucoDetector
+
+    det = ArucoDetector(
+        dictionary=params.aruco_Dictionary,
+        marker_size=params.aruco_markerSize,
+        corner_refine=params.aruco_CornerRefimentMethod,
+        detection_mode=params.aruco_DetectionMode,
+        min_marker_size=params.aruco_minMarkerSize,
+    )
+    return det if det.available else None
+
+
 class UcoSlam:
     def __init__(self):
         self._system: System | None = None
@@ -38,21 +60,8 @@ class UcoSlam:
         self._params = params
         self._map = world_map or Map(params)
         self._system = System(params, cam, self._map)
-        if marker_detector is None and params.detectMarkers:
-            # the reference configures the aruco detector inside
-            # System::setParams from Params.aruco_* (frameextractor.cpp
-            # preserved names getDetectionModeFromString /
-            # setCornerRefinementMethod; ucoslamtypes.h:120-144); same here
-            # so marker videos work through the production CLI path.
-            from ucoslam_tpu.markers.detector import ArucoDetector
-
-            det = ArucoDetector(
-                dictionary=params.aruco_Dictionary,
-                marker_size=params.aruco_markerSize,
-                corner_refine=params.aruco_CornerRefimentMethod,
-            )
-            if det.available:
-                marker_detector = det
+        if marker_detector is None:
+            marker_detector = build_marker_detector_from_params(params)
         self._extractor = FrameExtractor(params, cam, marker_detector)
         self._vocab_path = vocabulary
         if vocabulary:
@@ -125,6 +134,7 @@ class UcoSlam:
             "frames_since_kf": sysd.frames_since_kf,
             "kf_counter": sysd.manager.kf_counter,
             "last_kf_inliers": sysd.last_kf_inliers,
+            "metric_locked": sysd.manager.metric_locked,
             "kfdb_dummy": sysd.manager.kfdb.dummy,
             "fast_threshold": getattr(
                 self._extractor.orb, "fast_threshold", None
@@ -168,7 +178,23 @@ class UcoSlam:
         else:
             kfdb = None
         self._system = System(self._params, cam, self._map, kfdb=kfdb)
-        self._extractor = FrameExtractor(self._params, cam)
+        # restore the full extractor configuration, marker detector included
+        # (the reference restores FrameExtractor — aruco config and all —
+        # from the stream, feature2dserializable.h:71, system.cpp:2865-3102;
+        # without this a reloaded marker map silently stops detecting)
+        self._extractor = FrameExtractor(
+            self._params, cam, build_marker_detector_from_params(self._params)
+        )
+        if "metric_locked" in meta:
+            self._system.manager.metric_locked = bool(meta["metric_locked"])
+        else:
+            # legacy checkpoint: derive — lock when the map is known metric
+            # (a valid marker pose or stereo/RGB-D depth observed)
+            st = self._map.state
+            self._system.manager.metric_locked = bool(
+                np.asarray(st.mk_pose_valid).any()
+                or np.asarray(st.kf_depth > 0).any()
+            )
         if meta.get("fast_threshold") is not None and hasattr(
             self._extractor.orb, "fast_threshold"
         ):

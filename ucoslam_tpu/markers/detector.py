@@ -43,9 +43,19 @@ class ArucoDetector:
     NATIVE_DICTS = ("ARUCO_MIP_36h12", "ARUCO_MIP_16h3")
 
     def __init__(self, dictionary: str = "ARUCO_MIP_36h12", marker_size: float = 1.0,
-                 corner_refine: str = "CORNER_SUBPIX", backend: str = "auto"):
+                 corner_refine: str = "CORNER_SUBPIX", backend: str = "auto",
+                 detection_mode: str = "DM_NORMAL", min_marker_size: float = 0.0):
         self.marker_size = float(marker_size)
         self.dictionary = dictionary
+        # detection mode (reference markerdetector.h setDetectionMode /
+        # getDetectionModeFromString): DM_NORMAL = full-accuracy search;
+        # DM_FAST / DM_VIDEO_FAST = cheaper search that only admits larger
+        # quads (min perimeter raised) and skips the most expensive decode
+        # retries. min_marker_size is the reference's aruco_minMarkerSize:
+        # a fraction of the larger image dimension below which candidates
+        # are rejected (markerdetector.h:88 region).
+        self.detection_mode = detection_mode
+        self.min_marker_size = float(min_marker_size)
         self._detector = None
         self._native = False
         if backend in ("auto", "native") and dictionary in self.NATIVE_DICTS:
@@ -67,6 +77,12 @@ class ArucoDetector:
                 params.cornerRefinementMethod = aruco.CORNER_REFINE_SUBPIX
             elif corner_refine == "CORNER_LINES":
                 params.cornerRefinementMethod = aruco.CORNER_REFINE_CONTOUR
+            if self.min_marker_size > 0:
+                params.minMarkerPerimeterRate = 4.0 * self.min_marker_size
+            if self.detection_mode in ("DM_FAST", "DM_VIDEO_FAST"):
+                # one adaptive-threshold scale instead of the full sweep
+                params.adaptiveThreshWinSizeMin = 15
+                params.adaptiveThreshWinSizeMax = 15
             self._cv2 = cv2
             self._detector = aruco.ArucoDetector(dict_obj, params)
 
@@ -79,7 +95,23 @@ class ArucoDetector:
         if self._native:
             from ucoslam_tpu.markers.native import detect_markers_native
 
-            ids, corners = detect_markers_native(gray, dictionary=self.dictionary)
+            min_perim = 40
+            if self.min_marker_size > 0:
+                min_perim = max(
+                    min_perim,
+                    int(4.0 * self.min_marker_size * max(gray.shape)),
+                )
+            if self.detection_mode in ("DM_FAST", "DM_VIDEO_FAST"):
+                # fast mode: single threshold window (encoded as negative
+                # max_correction), larger min size, no bit-error correction
+                min_perim = max(min_perim, 60)
+                max_corr = -1
+            else:
+                max_corr = 1
+            ids, corners = detect_markers_native(
+                gray, dictionary=self.dictionary,
+                min_perimeter=min_perim, max_correction=max_corr,
+            )
             return list(ids), corners
         corners, ids, _ = self._detector.detectMarkers(gray)
         if ids is None or len(ids) == 0:

@@ -434,7 +434,10 @@ class MapManager:
         weights = covis[kf_slot].copy()
         weights[kf_slot] = 0
         order = np.argsort(-weights)
-        neighbours = [int(s) for s in order[:2] if weights[s] >= 10]
+        # the reference triangulates against the FULL covis neighbour set
+        # (mapmanager.cpp:3728-3816); 6 covers the typical local window —
+        # beyond that the maxNewPoints budget is exhausted anyway
+        neighbours = [int(s) for s in order[:6] if weights[s] >= 10]
         if not neighbours:
             # marker-only bootstrap: no shared points yet — triangulate
             # against the most recent other keyframe
@@ -443,17 +446,22 @@ class MapManager:
                 neighbours = [int(others[-1])]
         budget = p.maxNewPoints
         cur = _frame_from_kf(world_map, kf_slot)
+        # mono conditioning gate (reference getFrameMedianDepth +
+        # baseline_medianDepth_ratio_min): a neighbour whose baseline is
+        # tiny relative to the scene depth triangulates garbage that BA
+        # then has to absorb — skip it
+        median_depth = world_map.frame_median_depth(kf_slot)
+        min_baseline = p.baseline_medianDepth_ratio_min * max(median_depth, 1e-6)
         for nb in neighbours:
             if budget <= 0:
                 break
             other = _frame_from_kf(world_map, nb)
-            # baseline check: skip neighbours with tiny baseline (mono)
             T1 = np.asarray(cur.pose_f2g)
             T2 = np.asarray(other.pose_f2g)
             c1 = -T1[:3, :3].T @ T1[:3, 3]
             c2 = -T2[:3, :3].T @ T2[:3, 3]
             baseline = float(np.linalg.norm(c1 - c2))
-            if baseline < 1e-4:
+            if baseline < max(1e-4, min_baseline):
                 continue
             F12 = fundamental_from_poses(
                 cur.pose_f2g, other.pose_f2g, self.cam, self.cam
@@ -515,10 +523,7 @@ class MapManager:
     # ------------------------------------------------------------------
     def _fuse_duplicates(self, world_map: Map, kf_slot: int):
         fuse_duplicates_into_kf(world_map, kf_slot, self.cam, self.params)
-        # vectorized pair resolution: each projected point p that lands on
-        # a keypoint already claimed by a different point q is a duplicate
-        # pair (p, q); keep the better-observed one, remap the loser
-        # everywhere with one gather (no per-pair array rewrites)
+
     # ------------------------------------------------------------------
     def _cull_keyframes(self, world_map: Map, kf_slot: int):
         """Remove redundant keyframes (KFCulling, mapmanager.cpp:6098):

@@ -244,9 +244,6 @@ def estimate_scale_from_pending_markers(
                     best, best_self = g2m, err
         if best is None or not np.isfinite(best).all():
             continue
-        mk_dist = float(np.linalg.norm(centers.mean(0) - best[:3, 3]))
-        if spread < 0.03 * max(mk_dist, 1e-6):
-            continue
         vposes = np.tile(np.eye(4, dtype=np.float32), (PAD, 1, 1))
         vcorners = np.zeros((PAD, 4, 2), np.float32)
         for i, (k, c) in enumerate(obs):
@@ -259,7 +256,16 @@ def estimate_scale_from_pending_markers(
         )
         if float(rms) > 3.0 or float(size_f) <= 1e-6:
             continue
-        if not np.isfinite(np.asarray(g2m_f)).all():
+        g2m_np = np.asarray(g2m_f)
+        if not np.isfinite(g2m_np).all():
+            continue
+        # baseline-sufficiency gate in consistent MAP units: the keyframe
+        # centers and the jointly-fitted marker position g2m_f are both in
+        # map scale, so spread / distance is a true parallax ratio (the
+        # earlier pre-fit gate mixed the metric IPPE translation with
+        # map-unit spread and broke on far-from-metric maps)
+        mk_dist = float(np.linalg.norm(centers.mean(0) - g2m_np[:3, 3]))
+        if spread < 0.03 * max(mk_dist, 1e-6):
             continue
         ratios.append(size / float(size_f))
     if not ratios:

@@ -392,6 +392,7 @@ class System:
         for v in (
             int(self.state), int(self.mode), self.frames_since_kf,
             self.manager.kf_counter, self.last_kf_inliers,
+            int(self.manager.metric_locked),
         ):
             h.update(int(v).to_bytes(8, "little", signed=True))
         return int.from_bytes(h.digest(), "little")
