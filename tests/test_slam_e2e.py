@@ -153,11 +153,14 @@ class TestArenaGrowth:
         MapManager doubles the point/keyframe arenas when full (SURVEY §5
         map-size scaling; round-1 VERDICT missing #6) and tracking keeps
         bounded ATE throughout."""
-        params = PARAMS.replace(maxKeyFrames=8, maxMapPoints=1024)
+        # cap of 4: the paced keyframe policy (running-max thRefRatio,
+        # r4) inserts ~1 kf / 10-20 frames, so a tiny cap still forces
+        # arena doubling on this 80-frame sweep
+        params = PARAMS.replace(maxKeyFrames=4, maxMapPoints=1024)
         seq = SyntheticSequence(n_frames=80, seed=13, trajectory="line",
                                 motion_scale=2.0)
         sys_, poses = run_sequence(seq, params=params)
-        assert sys_.map.state.K > 8, "keyframe arena never grew"
+        assert sys_.map.state.K > 4, "keyframe arena never grew"
         assert len(poses) >= 0.85 * (seq.n_frames - 2), f"tracked {len(poses)}"
         idx, est = centers_of(poses)
         ate = ate_rmse(est, seq.gt_positions()[idx], with_scale=True)
@@ -170,19 +173,34 @@ class TestAsyncMapping:
     (the reference's default two-thread mode, mapmanager.h:740,1178)."""
 
     def test_async_tracks_whole_sequence(self):
-        params = PARAMS.replace(runSequential=False)
+        """Async accuracy is BOUNDED relative to sequential (VERDICT r3
+        item 8): repeated async runs on identical inputs must stay within
+        1.5x the sequential ATE (+ a small absolute floor for worker/
+        tracker interleave noise). The former 2.7x spread was seed luck —
+        the initializer PRNG was seeded from params.signature(), which
+        includes runSequential — not genuine async degradation."""
         seq = SyntheticSequence(n_frames=40, seed=3)
-        sys_, poses = run_sequence(seq, params=params)
-        sys_.wait_for_finished()
-        assert len(poses) >= 0.85 * (seq.n_frames - 2), f"tracked {len(poses)}"
-        idx, est = centers_of(poses)
-        ate = ate_rmse(est, seq.gt_positions()[idx], with_scale=True)
-        # async accuracy is scheduling-dependent (worker/tracker interleave
-        # varies run to run: observed 0.04-0.07 on identical inputs);
-        # sequential determinism is asserted elsewhere at 0.01-level
-        assert ate < 0.08, f"async ATE {ate}"
-        assert sys_.map.n_keyframes >= 3
-        sys_.shutdown()
+        seq_sys, seq_poses = run_sequence(seq, params=PARAMS)
+        idx, est = centers_of(seq_poses)
+        ate_seq = float(
+            ate_rmse(est, seq.gt_positions()[idx], with_scale=True)
+        )
+        params = PARAMS.replace(runSequential=False)
+        bound = 1.5 * ate_seq + 0.005
+        for trial in range(10):
+            sys_, poses = run_sequence(seq, params=params)
+            sys_.wait_for_finished()
+            assert len(poses) >= 0.85 * (seq.n_frames - 2), (
+                f"trial {trial}: tracked {len(poses)}"
+            )
+            idx, est = centers_of(poses)
+            ate = float(ate_rmse(est, seq.gt_positions()[idx], with_scale=True))
+            assert ate < bound, (
+                f"trial {trial}: async ATE {ate:.4f} vs sequential "
+                f"{ate_seq:.4f} (bound {bound:.4f})"
+            )
+            assert sys_.map.n_keyframes >= 3
+            sys_.shutdown()
 
     def test_async_worker_errors_surface(self):
         params = PARAMS.replace(runSequential=False)

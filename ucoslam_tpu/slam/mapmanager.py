@@ -191,10 +191,14 @@ class MapManager:
         return self._thread is not None
 
     def busy(self) -> bool:
-        """True while KEYFRAME work is queued or in flight (the reference's
-        WORKING state, mapmanager.h:740). Stats messages don't count — they
-        are cheap counter bumps that arrive every frame."""
-        return self._pending_kf > 0
+        """True when the keyframe channel is saturated (the reference's
+        bounded TSQueue, tsqueue.h:30: candidates BUFFER while the mapper
+        works — skipping every needed keyframe while one is in flight
+        measurably degrades async accuracy because keyframe PLACEMENT
+        diverges from the sequential schedule). Up to 2 candidates ride
+        the queue; beyond that the tracker keeps tracking and retries.
+        Stats messages don't count — they are cheap counter bumps."""
+        return self._pending_kf >= 2
 
     def wait_idle(self) -> None:
         """Block until the worker drains (UcoSlam::waitForFinished)."""

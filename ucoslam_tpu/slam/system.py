@@ -140,19 +140,20 @@ class System:
             else:
                 self.map.bump_point_stats(res.vis_mask, res.seen_mask)
 
+        need_kf = self.mode == Mode.SLAM and self._need_keyframe(res)
+        # reference-count maintenance AFTER the decision: running max of
+        # tracked inliers since the last keyframe (see _need_keyframe)
+        self.last_kf_inliers = max(self.last_kf_inliers, res.n_inliers)
+
         if self.manager.is_async:
-            if (
-                self.mode == Mode.SLAM
-                and self._need_keyframe(res)
-                and not self.manager.busy()
-            ):
+            if need_kf and not self.manager.busy():
                 if self.manager.enqueue_keyframe(res.frame):
                     self.frames_since_kf = 0
                     self.last_kf_inliers = max(res.n_inliers, 1)
             self._log(frame, pose, res.n_inliers)
             return pose
 
-        if self.mode == Mode.SLAM and self._need_keyframe(res):
+        if need_kf:
             self.manager.last_scale_correction = 1.0
             loops_before = self.manager.loop_closures
             with timers.stage("mapping"):
@@ -175,13 +176,10 @@ class System:
                 self.velocity = self.velocity.copy()
                 self.velocity[:3, 3] *= s
             self.frames_since_kf = 0
-            # reference count = observations of the new keyframe AFTER
-            # mapping (tracked matches + newly triangulated points), so the
-            # thRefRatio trigger keeps firing during exploration
-            self.last_kf_inliers = max(
-                res.n_inliers,
-                int(np.asarray(self.map.state.kf_ids[kf_slot] >= 0).sum()),
-            )
+            # reset the reference count to THIS keyframe's tracked inliers;
+            # the running max in subsequent frames absorbs the post-mapping
+            # inlier surge from newly triangulated points
+            self.last_kf_inliers = max(res.n_inliers, 1)
         self._log(frame, pose, res.n_inliers)
         return pose
 
@@ -294,18 +292,37 @@ class System:
         ucoslamtypes.h:95,150).
 
         A new keyframe is NEEDED when the tracked inlier count drops below
-        thRefRatio x the reference keyframe's count (the view drifted from
-        the reference) or tracking has gone stale; the frame QUALIFIES as
-        a keyframe only when its own match confidence — inliers / matches
-        — is at least KFMinConfidence (the reference's minimum confidence
-        for a keyframe candidate, ucoslamtypes.h:95 — the knob dataset
-        presets tune, e.g. KITTI's 0.8)."""
+        thRefRatio x the reference count (the view drifted from the
+        reference; `last_kf_inliers` is a RUNNING MAX since the last
+        keyframe so a post-mapping inlier surge raises the bar instead of
+        the old static-inflation which fired every frame and churned the
+        map through insert+cull cycles), when tracking has gone stale, or
+        — stereo/RGB-D — when tracked CLOSE points are scarce while the
+        frame could create many (the reference's stereo close-point
+        keyframe condition; close = z < 40*bl, imageparams.h:105). The
+        frame QUALIFIES only when its match confidence — inliers/matches —
+        is at least KFMinConfidence (ucoslamtypes.h:95)."""
         p = self.params
         if self.frames_since_kf < 1:
             return False
         # no capacity gate: the MapManager doubles the arenas when full
         ref = max(self.last_kf_inliers, 1)
-        need = res.n_inliers < p.thRefRatio * ref or self.frames_since_kf >= 20
+        # stereo tolerates a deeper drop before re-keyframing (dense direct
+        # depth keeps tracking strong; ORB-SLAM2 uses 0.75 stereo / 0.9 mono)
+        th = p.thRefRatio if self.cam.bl <= 0 else min(p.thRefRatio, 0.75)
+        need = (
+            (res.n_inliers < th * ref and res.n_inliers > 15)
+            or self.frames_since_kf >= 20
+        )
+        if not need and self.cam.bl > 0:
+            depth = np.asarray(res.frame.depth)
+            close = (depth > 0) & (depth < 40.0 * self.cam.bl)
+            ids = np.asarray(res.frame.ids)
+            tracked_close = int((close & (ids >= 0)).sum())
+            creatable = int(
+                (close & (ids < 0) & np.asarray(res.frame.valid)).sum()
+            )
+            need = tracked_close < 100 and creatable > 70
         confidence = res.n_inliers / max(res.n_matches, 1)
         qualifies = res.n_inliers >= 20 and confidence >= p.KFMinConfidence
         if need and qualifies:
@@ -347,6 +364,14 @@ class System:
             # loop closure / metric rescale: motion model is invalid
             self.prev_pose = None
             self.velocity = np.eye(4, dtype=np.float32)
+        elif self.prev_pose is not None:
+            # re-anchor the motion model too: velocity derives from
+            # pose @ inv(prev_pose), so prev_pose must move into the
+            # corrected world with the same dT or the next prior jitters
+            self.prev_pose = (self.prev_pose @ upd["dT"]).astype(np.float32)
+            self.velocity = (self.pose @ np.linalg.inv(self.prev_pose)).astype(
+                np.float32
+            )
 
     def wait_for_finished(self) -> None:
         """Drain pending mapping work (UcoSlam::waitForFinished)."""
