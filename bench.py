@@ -203,7 +203,9 @@ def _ba_iter_time(jax, jnp, problem, cam):
     """Marginal LM-iteration time + convergence check for one problem."""
     from ucoslam_tpu.optim.ba import ba_solve
 
-    lo, hi = 4, 24
+    # multiples of the pm solver's relinearization cadence (6) so the
+    # marginal cost measures steady-state macro steps
+    lo, hi = 6, 24
     r = ba_solve(problem, cam, iters=lo, stages=1)
     r.cam_pose.block_until_ready()  # compile iters=lo
     r = ba_solve(problem, cam, iters=hi, stages=1)
@@ -220,11 +222,24 @@ def _ba_iter_time(jax, jnp, problem, cam):
     converged = float(np.asarray(r.cost_history)[-1]) < float(
         np.asarray(r.cost_history)[0]
     )
-    fl, by = _cost_of(
-        jax,
-        lambda p: ba_solve(p, cam, iters=1, stages=1),
-        problem,
-    )
+    # roofline accounting against the path ba_solve actually dispatches to
+    # (the pm fast path is selected host-side, so the jitted cost analysis
+    # must target the inner solver directly)
+    from ucoslam_tpu.optim.schur_pm import pm_problem_for, pm_staged_lm
+
+    V = problem.cam_pose.shape[0]
+    pm = pm_problem_for(problem) if V >= 128 else None
+    if pm is not None:
+        fl, by = _cost_of(
+            jax, lambda q: pm_staged_lm(q, cam, iters=6, stages=1), pm
+        )
+        fl, by = fl / 6.0, by / 6.0
+    else:
+        fl, by = _cost_of(
+            jax,
+            lambda p: ba_solve(p, cam, iters=1, stages=1, solver="dense"),
+            problem,
+        )
     roof = _roofline(fl, by, t_iter) if fl else {}
     return t_iter, converged, roof
 

@@ -1,6 +1,7 @@
 """Bundle adjustment tests: Schur LM convergence, map integration."""
 
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from ucoslam_tpu.config import Params
@@ -361,3 +362,83 @@ class TestCGSolver:
         for c in range(min(4, len(co))):
             row = co[c][co[c] >= 0]
             assert (oc[row] == c).all()
+
+
+class TestPointMajorSolver:
+    """Point-major block-sparse Schur path (optim/schur_pm.py): the
+    big-map fast solver behind ba_solve's V>=512 dispatch (the TPU
+    analogue of the reference's sparse BlockSolver_6_3,
+    globaloptimizer_g2o.cpp:176)."""
+
+    def _problem(self, n_kf, n_pt, obs_per_pt, seed=7):
+        import sys, os
+        sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+        import bench
+
+        return bench._make_ba_problem(jnp, n_kf=n_kf, n_pt=n_pt,
+                                      obs_per_pt=obs_per_pt)
+
+    def test_pm_matches_dense_convergence(self):
+        from ucoslam_tpu.optim.ba import ba_solve
+        from ucoslam_tpu.optim.schur_pm import pm_problem_for, pm_staged_lm
+
+        problem, cam = self._problem(64, 2048, 6)
+        rd = ba_solve(problem, cam, iters=12, stages=2, solver="dense")
+        pm = pm_problem_for(problem)
+        assert pm is not None
+        cp, pt, costs, c2, bad = pm_staged_lm(pm, cam, iters=12, stages=2)
+        # CG truncation and lazy relinearization allow a modest gap vs the
+        # exact dense solve; monotone non-increase is guaranteed by the
+        # cost-gated acceptance
+        assert float(costs[-1]) <= float(costs[0]) + 1e-3
+        assert float(costs[-1]) < 2.0 * float(rd.cost_history[-1])
+
+    def test_ba_solve_dispatches_to_pm_at_scale(self):
+        from ucoslam_tpu.optim import ba as ba_mod
+        from ucoslam_tpu.optim import schur_pm
+
+        problem, cam = self._problem(512, 4096, 4)
+        called = {}
+        orig = schur_pm.pm_staged_lm
+
+        def spy(*a, **k):
+            called["pm"] = True
+            return orig(*a, **k)
+
+        schur_pm.pm_staged_lm = spy
+        try:
+            r = ba_mod.ba_solve(problem, cam, iters=4, stages=1)
+        finally:
+            schur_pm.pm_staged_lm = orig
+        assert called.get("pm"), "V>=512 did not route to the pm solver"
+        assert float(r.cost_history[-1]) < float(r.cost_history[0])
+        # per-obs outputs came back in the ORIGINAL observation order
+        O = problem.obs_cam.shape[0]
+        assert r.obs_chi2.shape == (O,)
+        assert r.obs_bad.shape == (O,)
+        # chi2 scatter-back sanity: recompute chi2 directly at the solution
+        from ucoslam_tpu.optim.ba import _chi2_of
+
+        c2_direct, _ = _chi2_of(problem, r.cam_pose, r.pt_pos, cam)
+        np.testing.assert_allclose(
+            np.asarray(r.obs_chi2), np.asarray(c2_direct), rtol=1e-3,
+            atol=1e-3,
+        )
+
+    def test_pm_rejects_marker_problems(self):
+        from ucoslam_tpu.optim.schur_pm import build_pm_problem
+        from ucoslam_tpu.optim.ba import BAProblem
+
+        problem, cam = self._problem(16, 256, 4)
+        mk = problem._replace(
+            mk_pose=jnp.eye(4)[None],
+            mk_fixed=jnp.zeros(1, bool),
+            mk_valid=jnp.ones(1, bool),
+            mk_obj=jnp.zeros((1, 4, 3)),
+            mobs_cam=jnp.zeros(1, jnp.int32),
+            mobs_mk=jnp.zeros(1, jnp.int32),
+            mobs_uv=jnp.zeros((1, 4, 2)),
+            mobs_w=jnp.ones(1),
+            mobs_valid=jnp.ones(1, bool),
+        )
+        assert build_pm_problem(mk) is None

@@ -59,7 +59,7 @@ class TestKFDataBase:
         db = KeyFrameDataBase(4, dummy=True)
         d = RNG.integers(0, 2**32, (32, 8), dtype=np.uint32)
         db.add(0, jnp.asarray(d), jnp.ones(32, bool))
-        assert float(np.asarray(db.vectors).sum()) == 0.0
+        assert int((np.asarray(db.word_ids) >= 0).sum()) == 0
         c = db.relocalization_candidates(
             jnp.asarray(d), jnp.ones(32, bool), np.asarray([True] * 4)
         )

@@ -141,8 +141,11 @@ class UcoSlam:
             ) if self._extractor is not None else None,
         }
         kfdb = sysd.manager.kfdb
+        # sparse postings (word ids + weights), NOT a dense (K, V) table —
+        # checkpoints stay O(K * words_per_frame) at any vocabulary size
         arrays = {
-            "kfdb_vectors": np.asarray(kfdb.vectors),
+            "kfdb_word_ids": np.asarray(kfdb.word_ids),
+            "kfdb_word_w": np.asarray(kfdb.word_w),
             "kfdb_vocab": np.asarray(kfdb.vocab),
         }
         if kfdb.weights is not None:
@@ -159,13 +162,13 @@ class UcoSlam:
         self._params = self._map.params
         arrays = load_map_extra_arrays(path)
         meta = load_map_meta(path).get("extra", {})
-        if "kfdb_vectors" in arrays:
+        if "kfdb_word_ids" in arrays:
             # restore the serialized BoW database instead of re-deriving it
             # from the keyframes (load cost stays O(size of table))
             from ucoslam_tpu.mapping.kfdatabase import KeyFrameDataBase
 
             kfdb = KeyFrameDataBase(
-                arrays["kfdb_vectors"].shape[0],
+                arrays["kfdb_word_ids"].shape[0],
                 vocab=jnp.asarray(arrays["kfdb_vocab"]),
                 weights=(
                     jnp.asarray(arrays["kfdb_weights"])
@@ -174,8 +177,11 @@ class UcoSlam:
                 ),
                 dummy=bool(meta.get("kfdb_dummy", False)),
             )
-            kfdb.vectors = jnp.asarray(arrays["kfdb_vectors"])
+            kfdb.word_ids = jnp.asarray(arrays["kfdb_word_ids"])
+            kfdb.word_w = jnp.asarray(arrays["kfdb_word_w"])
         else:
+            # legacy checkpoint (dense kfdb_vectors) or none: System
+            # re-derives the postings from the loaded keyframes
             kfdb = None
         self._system = System(self._params, cam, self._map, kfdb=kfdb)
         # restore the full extractor configuration, marker detector included

@@ -312,12 +312,11 @@ def _staged_lm(
     # reductions via static gather tables, one (V, 6)-float psum per CG
     # iteration when sharded.
     if solver == "auto":
-        # measured crossover on TPU v5e: dense ~3.3 ms per 1e9 assembly
-        # FLOPs; the CG path has ~40 ms fixed cost at mapping-rate sizes —
-        # dense stays faster until the quadratic term dominates
-        use_cg = problem.cam_obs is not None and (
-            V >= 512 or V * V * P * 36.0 > 3e10
-        )
+        # measured crossover on TPU v5e (r4): dense 33.7 ms vs CG 96 ms at
+        # V=128, dense 84 vs CG 291 at V=256 — the GY/GA layout transforms
+        # beat the CG gather traffic until V >= 512 (the r3 FLOP-based
+        # rule mis-sent the 128-kf case to CG and cost 15% mapping rate)
+        use_cg = problem.cam_obs is not None and V >= 512
     else:
         use_cg = solver == "cg"
     if use_cg and problem.cam_obs is None:
@@ -607,6 +606,27 @@ def _staged_lm(
 
 
 @partial(jax.jit, static_argnames=("iters", "stages", "solver", "cg_iters"))
+def _ba_solve_general(
+    problem: BAProblem,
+    cam: CameraParams,
+    iters: int = 20,
+    stages: int = 2,
+    solver: str = "auto",
+    cg_iters: int = 32,
+) -> BAResult:
+    cam_pose, mk_pose, pt_pos, costs, c2, bad = _staged_lm(
+        problem, cam, iters, stages, solver=solver, cg_iters=cg_iters
+    )
+    return BAResult(
+        cam_pose=cam_pose,
+        pt_pos=pt_pos,
+        obs_chi2=c2,
+        obs_bad=bad,
+        cost_history=costs,
+        mk_pose=mk_pose if problem.mk_pose is not None else None,
+    )
+
+
 def ba_solve(
     problem: BAProblem,
     cam: CameraParams,
@@ -622,18 +642,52 @@ def ba_solve(
     and the Huber kernel is dropped (the reference's two-stage protocol,
     globaloptimizer_g2o.cpp:418-461; marker edges stay quadratic and are
     never demoted). solver: "dense" (exact Schur, small windows), "cg"
-    (matrix-free PCG, reference-suite scale) or "auto" by problem shape.
+    (matrix-free PCG) or "auto" by problem shape.
+
+    Dispatch (host-side): big marker-free problems route to the
+    point-major block-sparse solver (optim/schur_pm.py — the TPU analogue
+    of the reference's sparse BlockSolver_6_3,
+    globaloptimizer_g2o.cpp:176); everything else runs the general jitted
+    path. Measured dense-vs-CG crossover on TPU v5e sits near V=512 —
+    below it the dense MXU Schur assembly wins.
     """
-    cam_pose, mk_pose, pt_pos, costs, c2, bad = _staged_lm(
-        problem, cam, iters, stages, solver=solver, cg_iters=cg_iters
+    V = problem.cam_pose.shape[0] + (
+        problem.mk_pose.shape[0] if problem.mk_pose is not None else 0
     )
-    return BAResult(
-        cam_pose=cam_pose,
-        pt_pos=pt_pos,
-        obs_chi2=c2,
-        obs_bad=bad,
-        cost_history=costs,
-        mk_pose=mk_pose if problem.mk_pose is not None else None,
+    # pm crossover measured on TPU v5e: 7.3 ms/LM-iter vs dense 33.7 at
+    # V=128; dense stays ahead only for small covis windows
+    if solver in ("auto", "cg") and V >= 128 and problem.cam_obs is not None:
+        from ucoslam_tpu.optim.schur_pm import pm_problem_for, pm_staged_lm
+
+        pm = pm_problem_for(problem)
+        if pm is not None:
+            cam_pose, pt_pos, costs, c2_pm, bad_pm = pm_staged_lm(
+                pm, cam, iters=iters, stages=stages, cg_iters=cg_iters
+            )
+            # scatter per-obs outputs back to the original obs order
+            O = problem.obs_cam.shape[0]
+            src = jnp.where(pm.o_src >= 0, pm.o_src, O).reshape(-1)
+            c2 = jnp.zeros((O + 1,)).at[src].set(c2_pm.reshape(-1)).at[:O].get()
+            bad = (
+                jnp.zeros((O + 1,), bool)
+                .at[src]
+                .set(bad_pm.reshape(-1))
+                .at[:O]
+                .get()
+            )
+            return BAResult(
+                cam_pose=cam_pose,
+                pt_pos=pt_pos,
+                obs_chi2=c2,
+                obs_bad=bad,
+                cost_history=costs,
+                mk_pose=None,
+            )
+    if solver == "auto":
+        solver = "cg" if V >= 512 and problem.cam_obs is not None else "dense"
+    return _ba_solve_general(
+        problem, cam, iters=iters, stages=stages, solver=solver,
+        cg_iters=cg_iters,
     )
 
 
