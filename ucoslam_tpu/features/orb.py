@@ -47,7 +47,10 @@ N_PAIRS = 256
 
 
 PATTERN_RADIUS = 13  # max pattern norm: rotated samples stay inside the patch
-DESC_BINS = 64  # rotation tables (5.6 deg quantization)
+DESC_BINS = 32  # rotation tables (11.25 deg quantization; rBRIEF is
+# trained/stable to ~12 deg — the reference's rotated pattern uses the
+# same granularity class — and halving the bins halves the descriptor
+# matmul FLOPs, the single largest extract stage)
 
 
 def _brief_pattern(seed: int = 42) -> np.ndarray:

@@ -103,14 +103,19 @@ def resize_matmul(img: jnp.ndarray, out_shape: tuple[int, int]) -> jnp.ndarray:
 
 
 def build_pyramid(img: jnp.ndarray, n_levels: int, scale_factor: float):
-    """(H, W) float32 -> list of per-level images (static shapes)."""
+    """(H, W) float32 -> list of per-level images (static shapes).
+
+    Every level resizes DIRECTLY from level 0: the resize weights are
+    anti-aliased (triangle filter scaled to the ratio, matching
+    jax.image.resize 'linear'), so a single large downscale does not
+    alias — and the levels become independent ops the TPU can overlap,
+    instead of the reference's sequential prev-level chain which
+    serialized 7 small matmuls behind each other."""
     h, w = img.shape
     shapes = pyramid_shapes(h, w, n_levels, scale_factor)
     levels = [img]
     for lv in range(1, n_levels):
-        # Resize from the previous level (as the reference does) to avoid
-        # aliasing from repeated large downscales.
-        levels.append(resize_matmul(levels[-1], shapes[lv]))
+        levels.append(resize_matmul(img, shapes[lv]))
     return levels
 
 
@@ -163,16 +168,30 @@ def keypoint_moments(img: jnp.ndarray, xy: jnp.ndarray, radius: int = 15):
 def extract_patches(img: jnp.ndarray, xy: jnp.ndarray, radius: int) -> jnp.ndarray:
     """(N, 2r+1, 2r+1) square patches centered at rounded xy.
 
-    vmapped dynamic_slice: XLA lowers this to row-block gathers (~N x 2r+1
-    contiguous loads) instead of per-pixel gathers — the TPU-fast way to
-    read keypoint neighbourhoods. Out-of-range starts clamp to the image
-    (only padded/invalid keypoints land there; their output is masked
-    downstream).
+    Batched formulation: one ROW gather (N*P row indices — contiguous
+    full rows, the gather shape TPUs handle well) followed by a one-hot
+    column-window contraction on the MXU. The earlier vmapped
+    dynamic_slice lowered to a sequential per-keypoint while loop at
+    ~0.8 us/keypoint — the single largest stage of the extractor.
+    Out-of-range centers clamp to the image (only padded/invalid
+    keypoints land there; their output is masked downstream).
     """
     P = 2 * radius + 1
-    y0 = jnp.round(xy[:, 1]).astype(jnp.int32) - radius
-    x0 = jnp.round(xy[:, 0]).astype(jnp.int32) - radius
-    return jax.vmap(lambda y, x: jax.lax.dynamic_slice(img, (y, x), (P, P)))(y0, x0)
+    h, w = img.shape
+    y0 = jnp.clip(jnp.round(xy[:, 1]).astype(jnp.int32) - radius, 0, h - P)
+    x0 = jnp.clip(jnp.round(xy[:, 0]).astype(jnp.int32) - radius, 0, w - P)
+    n = xy.shape[0]
+    rows_idx = (y0[:, None] + jnp.arange(P)).reshape(-1)  # (N*P,)
+    rows = img[rows_idx].reshape(n, P, w)
+    cols = x0[:, None] + jnp.arange(P)[None, :]  # (N, P)
+    sel = (
+        jnp.arange(w)[None, :, None] == cols[:, None, :]
+    ).astype(jnp.float32)  # (N, W, P) exact one-hot
+    # HIGHEST keeps the selected intensities bit-exact (default TPU matmul
+    # precision would decompose the f32 rows into bf16 passes)
+    return jnp.einsum(
+        "nrw,nwc->nrc", rows, sel, precision=jax.lax.Precision.HIGHEST
+    )
 
 
 @partial(jax.jit, static_argnames=("mode",))
