@@ -15,10 +15,12 @@
 //
 // Outputs: <out_prefix>.pass1.tum, <out_prefix>.pass2.tum,
 //          <out_prefix>.stats (json: fps, frames tracked per pass).
+#include <algorithm>
 #include <chrono>
 #include <cstdio>
 #include <fstream>
 #include <iostream>
+#include <limits>
 #include <sstream>
 #include <string>
 #include <vector>
@@ -33,10 +35,11 @@ struct Item {
     std::string path;
 };
 
-static std::vector<Item> readTumList(const std::string &root) {
+static std::vector<Item> readTumList(const std::string &root,
+                                     const std::string &list = "rgb.txt") {
     std::vector<Item> items;
-    std::ifstream f(root + "/rgb.txt");
-    if (!f) throw std::runtime_error("cannot open " + root + "/rgb.txt");
+    std::ifstream f(root + "/" + list);
+    if (!f) throw std::runtime_error("cannot open " + root + "/" + list);
     std::string line;
     while (std::getline(f, line)) {
         if (line.empty() || line[0] == '#') continue;
@@ -141,9 +144,13 @@ int main(int argc, char **argv) {
     }
     std::string root = argv[1], camyml = argv[2], outprefix = argv[3];
     bool stereo = hasFlag(argc, argv, "-stereo");
+    bool rgbd = hasFlag(argc, argv, "-rgbd");
+    bool recovery = hasFlag(argc, argv, "-recovery");
     std::vector<std::string> rightPaths;
     std::vector<Item> items = stereo ? readEurocList(root, 0, &rightPaths)
                                      : readTumList(root);
+    std::vector<Item> depthItems;
+    if (rgbd) depthItems = readTumList(root, "depth.txt");
     int maxframes = std::stoi(getOpt(argc, argv, "-maxframes", "1000000"));
     if ((int)items.size() > maxframes) items.resize(maxframes);
 
@@ -172,20 +179,58 @@ int main(int argc, char **argv) {
 
     std::ofstream p1(outprefix + ".pass1.tum");
     int tracked1 = 0;
+    // reference harness recovery protocol (tests/test_sequence.cpp:255-
+    // 300): on loss after tracking started — save evidence, rewind 15
+    // frames, resetTracker, tighten KF params until 5 frames past the
+    // loss point; restore params on re-acquire or on give-up.
+    bool trackingStarted = false;
+    int recoveryLostFrame = std::numeric_limits<int>::max();
+    float normalKFMinConfidence = params.KFMinConfidence;
+    float normalKFCulling = params.KFCulling;
+    float normalProjDistThr = params.projDistThr;
+    int nRecoveries = 0;
     auto t0 = std::chrono::steady_clock::now();
-    for (size_t i = 0; i < items.size(); i++) {
+    for (int i = 0; i < (int)items.size(); i++) {
         cv::Mat img = cv::imread(items[i].path, cv::IMREAD_GRAYSCALE);
         if (img.empty()) throw std::runtime_error("bad image " + items[i].path);
         cv::Mat pose;
         if (stereo) {
             cv::Mat right = cv::imread(rightPaths[i], cv::IMREAD_GRAYSCALE);
             pose = slam.processStereo(img, right, ip, (uint32_t)i);
+        } else if (rgbd) {
+            cv::Mat depth = cv::imread(depthItems[i].path, cv::IMREAD_UNCHANGED);
+            pose = slam.processRGBD(img, depth, ip, (uint32_t)i);
         } else {
             pose = slam.process(img, ip, (uint32_t)i);
         }
         if (!pose.empty()) {
             tracked1++;
             writeTumLine(p1, items[i].stamp, pose);
+            trackingStarted = trackingStarted || themap->keyframes.size() >= 5;
+            if (i >= recoveryLostFrame) {
+                slam.getParams().KFMinConfidence = normalKFMinConfidence;
+                slam.getParams().KFCulling = normalKFCulling;
+                slam.getParams().projDistThr = normalProjDistThr;
+                recoveryLostFrame = std::numeric_limits<int>::max();
+            }
+        } else if (recovery && trackingStarted) {
+            if (recoveryLostFrame == std::numeric_limits<int>::max()) {
+                recoveryLostFrame = i + 5;
+                nRecoveries++;
+                int back = std::max(i - 15, 0);
+                slam.waitForFinished();
+                slam.resetTracker();
+                slam.getParams().KFMinConfidence = 0.9f;
+                slam.getParams().KFCulling = 0.9f;
+                slam.getParams().projDistThr = 1.5f * normalProjDistThr;
+                i = back - 1;  // loop ++ lands on `back`
+            } else if (i >= recoveryLostFrame) {
+                slam.getParams().KFMinConfidence = normalKFMinConfidence;
+                slam.getParams().KFCulling = normalKFCulling;
+                slam.getParams().projDistThr = normalProjDistThr;
+                recoveryLostFrame = std::numeric_limits<int>::max();
+                trackingStarted = false;
+            }
         }
     }
     slam.waitForFinished();
@@ -218,6 +263,9 @@ int main(int argc, char **argv) {
             if (stereo) {
                 cv::Mat right = cv::imread(rightPaths[i], cv::IMREAD_GRAYSCALE);
                 pose = slam2->processStereo(img, right, ip, (uint32_t)i);
+            } else if (rgbd) {
+                cv::Mat depth = cv::imread(depthItems[i].path, cv::IMREAD_UNCHANGED);
+                pose = slam2->processRGBD(img, depth, ip, (uint32_t)i);
             } else {
                 pose = slam2->process(img, ip, (uint32_t)i);
             }

@@ -36,7 +36,7 @@ sys.path.insert(0, REPO)
 REF_DRIVER = os.environ.get("REF_DRIVER", "/tmp/refbuild/ref_driver")
 
 
-def write_ref_camera_yml(path, cam, bl=None):
+def write_ref_camera_yml(path, cam, bl=None, rgb_depthscale=None):
     """OpenCV FileStorage YML the reference ImageParams reads
     (imageparams.cpp:132-176). bl MUST be 0 for monocular runs: a nonzero
     baseline routes the reference into its stereo/depth init path
@@ -58,6 +58,11 @@ def write_ref_camera_yml(path, cam, bl=None):
             "   rows: 1\n   cols: 5\n   dt: f\n"
             "   data: [ 0., 0., 0., 0., 0. ]\n"
             f"baseline: {float(bl)}\n"
+            + (
+                f"rgb_depthscale: {float(rgb_depthscale)}\n"
+                if rgb_depthscale
+                else ""
+            )
         )
 
 
@@ -91,7 +96,7 @@ def run_ref(dataset, camyml, out_prefix, extra, voc=None):
 
 
 def run_tpu(dataset, camyml, out_dir, stereo=False, markers=False, frames=0,
-            voc=None, params=None):
+            voc=None, params=None, rgbd=False, recovery=False):
     """Run our engine through the production CLI harness (two-pass).
 
     Runs as a SUBPROCESS: the TPU tunnel client must own the process —
@@ -106,6 +111,10 @@ def run_tpu(dataset, camyml, out_dir, stereo=False, markers=False, frames=0,
         argv += ["--stereo", "--format", "euroc"]
     else:
         argv += ["--format", "tum"]
+    if rgbd:
+        argv += ["--rgbd"]
+    if recovery:
+        argv += ["--recovery"]
     t0 = time.time()
     env = dict(os.environ)
     # hand the TPU back to the child (undo the parent's CPU pin)
@@ -116,7 +125,7 @@ def run_tpu(dataset, camyml, out_dir, stereo=False, markers=False, frames=0,
     return {"wall_s": time.time() - t0}
 
 
-SCENARIOS = ("mono", "markers", "stereo")
+SCENARIOS = ("mono", "markers", "stereo", "rgbd", "loop")
 
 
 def build_scenario(name, out, frames, seed=5):
@@ -152,6 +161,46 @@ def build_scenario(name, out, frames, seed=5):
             os.path.join(root, "groundtruth.txt"),
             ["-markers", "-aruco-size", "0.6"],
             {"markers": True, "params": pyml},
+            seq.cam,
+        )
+    if name == "rgbd":
+        # first-class RGB-D mode (reference ucoslam.cpp:23-27 processRGBD,
+        # ingest frameextractor.cpp:2688-2815): exact z-buffer depth
+        # written as TUM 16-bit PNGs (scale 5000)
+        from ucoslam_tpu.geometry.camera import CameraParams
+
+        cam = CameraParams.create(
+            500.0, 500.0, 320.0, 240.0, width=640, height=480, bl=0.25
+        )
+        seq = SyntheticSequence(cam=cam, n_frames=frames, n_points=1600,
+                                seed=seed)
+        if not os.path.exists(os.path.join(root, "depth.txt")):
+            write_synthetic_tum(seq, root, depth=True)
+        return (
+            root,
+            os.path.join(root, "groundtruth.txt"),
+            ["-rgbd"],
+            {"rgbd": True},
+            seq.cam,
+        )
+    if name == "loop":
+        # revisit/loop-closure geometry (VERDICT r4 item 2): the camera
+        # orbits inside an outward-facing feature cylinder — features
+        # continuously leave the view, drift accumulates, and the seam at
+        # the orbit's close must be absorbed by loop closure
+        # (loopdetector.cpp:3024 correctMap); both engines run with their
+        # recovery protocol enabled (tests/test_sequence.cpp:268-296)
+        seq = SyntheticSequence(
+            n_frames=frames, n_points=3000, seed=seed,
+            trajectory="orbit_out",
+        )
+        if not os.path.exists(os.path.join(root, "rgb.txt")):
+            write_synthetic_tum(seq, root)
+        return (
+            root,
+            os.path.join(root, "groundtruth.txt"),
+            ["-recovery"],
+            {"recovery": True},
             seq.cam,
         )
     if name == "stereo":
@@ -212,17 +261,21 @@ def main(argv=None):
     results = {}
     for name in scenarios:
         print(f"=== scenario {name} ===", flush=True)
+        # the loop scenario needs a full orbit for the seam to exist
+        n_frames = 360 if name == "loop" else args.frames
         ds, gt, ref_extra, tpu_kwargs, cam = build_scenario(
-            name, args.out, args.frames
+            name, args.out, n_frames
         )
         ref_cam = os.path.join(args.out, f"{name}_ref_cam.yml")
         tpu_cam = os.path.join(args.out, f"{name}_tpu_cam.yml")
+        metric_depth = tpu_kwargs.get("stereo") or tpu_kwargs.get("rgbd")
         write_ref_camera_yml(
-            ref_cam, cam, bl=cam.bl if tpu_kwargs.get("stereo") else 0.0
+            ref_cam, cam, bl=cam.bl if metric_depth else 0.0,
+            rgb_depthscale=(1.0 / 5000.0) if tpu_kwargs.get("rgbd") else None,
         )
         write_tpu_camera_yml(tpu_cam, cam)
         r = {}
-        with_scale = not tpu_kwargs.get("stereo") and not tpu_kwargs.get("markers")
+        with_scale = not metric_depth and not tpu_kwargs.get("markers")
         if not args.skip_ref:
             pre = os.path.join(args.out, f"{name}_ref")
             st = run_ref(ds, ref_cam, pre, ref_extra, voc=voc)
@@ -240,7 +293,7 @@ def main(argv=None):
                   f"fps={st.get('fps_pass1'):.1f}", flush=True)
         if not args.skip_tpu:
             out_dir = os.path.join(args.out, f"{name}_tpu")
-            st = run_tpu(ds, tpu_cam, out_dir, frames=args.frames, voc=voc, **tpu_kwargs)
+            st = run_tpu(ds, tpu_cam, out_dir, frames=n_frames, voc=voc, **tpu_kwargs)
             est = os.path.join(out_dir, "trajectory.txt")
             ate, pct = evaluate(est, gt, with_scale)
             r["tpu"] = {"ate": ate, "tracked_pct": pct, "wall_s": st["wall_s"]}

@@ -166,7 +166,16 @@ def write_synthetic_tum(seq, root: str, depth: bool = False) -> None:
     rgb_lines, depth_lines, gt_lines = [], [], []
     for i in range(seq.n_frames):
         stamp = i / 30.0
-        img = np.clip(seq.render(i), 0, 255).astype(np.uint8)
+        if depth:
+            img_f, dep = seq.render_with_depth(i)
+            img = np.clip(img_f, 0, 255).astype(np.uint8)
+            # TUM RGB-D convention: 16-bit PNG, depth_png / 5000 = meters
+            drel = f"depth/{stamp:.6f}.png"
+            d16 = np.clip(np.asarray(dep) * 5000.0, 0, 65535).astype(np.uint16)
+            cv2.imwrite(os.path.join(root, drel), d16)
+            depth_lines.append(f"{stamp:.6f} {drel}")
+        else:
+            img = np.clip(seq.render(i), 0, 255).astype(np.uint8)
         rel = f"rgb/{stamp:.6f}.png"
         cv2.imwrite(os.path.join(root, rel), img)
         rgb_lines.append(f"{stamp:.6f} {rel}")
@@ -179,6 +188,9 @@ def write_synthetic_tum(seq, root: str, depth: bool = False) -> None:
         )
     with open(os.path.join(root, "rgb.txt"), "w") as f:
         f.write("# synthetic\n" + "\n".join(rgb_lines) + "\n")
+    if depth:
+        with open(os.path.join(root, "depth.txt"), "w") as f:
+            f.write("# synthetic depth\n" + "\n".join(depth_lines) + "\n")
     with open(os.path.join(root, "groundtruth.txt"), "w") as f:
         f.write("# synthetic gt\n" + "\n".join(gt_lines) + "\n")
 

@@ -104,26 +104,6 @@ def bow_vector(
     return hist / norm
 
 
-@jax.jit
-def bow_scores(query: jnp.ndarray, database: jnp.ndarray) -> jnp.ndarray:
-    """(V,) x (K, V) -> (K,) cosine similarity (fbow L2 score, fbow.h:33)."""
-    return database @ query
-
-
-@jax.jit
-def bow_common_words(query: jnp.ndarray, database: jnp.ndarray) -> jnp.ndarray:
-    """(V,) x (K, V) -> (K,) count of vocabulary words present in both.
-
-    Counterpart of the reference's inverted-index shared-word counting
-    (KPFrameDataBase::relocalizationCandidates, keyframedatabase.cpp:195-
-    250): instead of walking word->frame lists, one masked matmul over the
-    dense histograms counts the intersection for every keyframe at once.
-    """
-    q = (query > 0).astype(jnp.bfloat16)
-    db = (database > 0).astype(jnp.bfloat16)
-    return jnp.dot(db, q, preferred_element_type=jnp.float32).astype(jnp.int32)
-
-
 #: sparse BoW width: words stored per keyframe (a 1-2k-feature frame
 #: quantizes to a few hundred distinct words; the reference's inverted
 #: index is equivalently O(K * words_per_frame), keyframedatabase.cpp:15)

@@ -543,6 +543,7 @@ class MapManager:
         # never cull the two oldest (gauge anchors)
         anchors = set(world_map.keyframes.active_slots()[:2].tolist())
         to_remove = []
+        obs_counts = obs_counts.copy()
         for s in candidates:
             if s in anchors:
                 continue
@@ -553,7 +554,15 @@ class MapManager:
             redundant = (obs_counts[obs] >= 4).mean()
             if redundant > p.KFCulling:
                 to_remove.append(s)
-                break  # at most one per round (the reference is incremental)
+                # discount the victim's observations so a mutually-
+                # redundant pair is never culled together (each was
+                # redundant only because of the other)
+                obs_counts[obs] -= 1
+                if len(to_remove) >= 2:
+                    # incremental like the reference, but up to two per
+                    # round now that localization-coverage gates exist
+                    # (VERDICT r4 item 10; stereo pass-2 at 100%)
+                    break
         if to_remove:
             world_map.remove_keyframes(to_remove)
             self.kfdb.remove(to_remove)
