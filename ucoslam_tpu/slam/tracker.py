@@ -40,6 +40,10 @@ class TrackResult(NamedTuple):
     seen_mask: jnp.ndarray | None = None  # (P,) bool — points matched inlier
 
 
+#: marker corner rows appended to the motion-only LM (4 per frame marker)
+_MK_ROWS = 64
+
+
 @jax.jit
 def _track_step(
     state: MapState,
@@ -49,8 +53,22 @@ def _track_step(
     proj_dist_thr: jnp.ndarray,
     max_desc_dist: jnp.ndarray,
     scale_factor: jnp.ndarray,
+    mk_X: jnp.ndarray = None,  # (_MK_ROWS, 3) marker corner world points
+    mk_uv: jnp.ndarray = None,  # (_MK_ROWS, 2) observed und. corners
+    mk_valid: jnp.ndarray = None,  # (_MK_ROWS,) bool
 ):
-    """Jitted core: match active map points against the frame and refine."""
+    """Jitted core: match active map points against the frame and refine.
+
+    Marker corners of valid-pose map markers join the motion-only LM as
+    fixed 3D->2D edges with the reference's weight balancing
+    (MarkerEdgeOnlyProject, pnpsolver.cpp:280-330: w_markers = 0.3 of the
+    total edge mass) — metric marker geometry steadies every frame's
+    pose, not just keyframes.
+    """
+    if mk_X is None:
+        mk_X = jnp.zeros((_MK_ROWS, 3))
+        mk_uv = jnp.zeros((_MK_ROWS, 2))
+        mk_valid = jnp.zeros((_MK_ROWS,), bool)
     m = match_points_to_frame(
         state.pt_pos,
         state.pt_desc,
@@ -79,10 +97,23 @@ def _track_step(
     sigma2 = jnp.exp(
         2.0 * frame.octave.astype(jnp.float32) * jnp.log(scale_factor)
     )
+    # marker weight balancing (pnpsolver.cpp:305-310): w_markers + w_kp = 1
+    # with w_markers = 0.3; each marker-corner row's information is
+    # weight_marker = (0.3 * totalNEdges / 0.7) / KpWeightSum
+    kp_w = jnp.sum(jnp.where(obs_valid, 1.0 / sigma2, 0.0))
+    n_mk = mk_valid.reshape(-1, 4).any(1).sum().astype(jnp.float32)
+    total_e = m.n_matched.astype(jnp.float32) + n_mk
+    w_mk = (0.3 * total_e / 0.7) / jnp.clip(kp_w, 1e-6)
+    sigma2_mk = 1.0 / jnp.clip(w_mk, 1e-9)
+    X_all = jnp.concatenate([X, mk_X])
+    uv_all = jnp.concatenate([frame.und_xy, mk_uv])
+    sig_all = jnp.concatenate([sigma2, jnp.full((_MK_ROWS,), sigma2_mk)])
+    valid_all = jnp.concatenate([obs_valid, mk_valid])
     res = motion_only_lm(
-        prior, X, frame.und_xy, sigma2, obs_valid, cam, iters=10, rounds=4
+        prior, X_all, uv_all, sig_all, valid_all, cam, iters=10, rounds=4
     )
-    inlier_kpt = res.inliers & obs_valid  # (N,)
+    inlier_kpt = res.inliers[: frame.n] & obs_valid  # (N,)
+    res = res._replace(n_inliers=jnp.sum(inlier_kpt))
     ids = jnp.where(inlier_kpt, pt_of_kpt, -1)
     # map inliers back to point slots for the seen-counter mask
     safe_p = jnp.where(inlier_kpt, pt_of_kpt, P)
@@ -126,9 +157,43 @@ class Tracker:
         self.cam = cam
         self._key = jax.random.PRNGKey(0xC0FFEE)
 
+    def _marker_rows(self, world_map: Map, frame: Frame):
+        """Fixed 3D->2D corner correspondences for frame markers whose map
+        pose is valid (MarkerEdgeOnlyProject inputs, pnpsolver.cpp:280-299)."""
+        mk_X = np.zeros((_MK_ROWS, 3), np.float32)
+        mk_uv = np.zeros((_MK_ROWS, 2), np.float32)
+        mk_valid = np.zeros((_MK_ROWS,), bool)
+        if not self.params.detectMarkers:
+            return jnp.asarray(mk_X), jnp.asarray(mk_uv), jnp.asarray(mk_valid)
+        f_valid = np.asarray(frame.markers.valid)
+        if not f_valid.any():
+            return jnp.asarray(mk_X), jnp.asarray(mk_uv), jnp.asarray(mk_valid)
+        from ucoslam_tpu.markers.ippe import marker_object_points
+
+        st = world_map.state
+        map_ids = np.asarray(st.mk_id)
+        pose_valid = np.asarray(st.mk_pose_valid)
+        mk_pose = np.asarray(st.mk_pose)
+        mk_size = np.asarray(st.mk_size)
+        f_ids = np.asarray(frame.markers.id)
+        und = np.asarray(frame.markers.und_corners)
+        k = 0
+        for i in np.nonzero(f_valid)[0]:
+            sel = np.nonzero((map_ids == f_ids[i]) & pose_valid)[0]
+            if not len(sel) or k + 4 > _MK_ROWS:
+                continue
+            s = int(sel[0])
+            obj = np.asarray(marker_object_points(jnp.float32(float(mk_size[s]))))
+            mk_X[k : k + 4] = obj @ mk_pose[s][:3, :3].T + mk_pose[s][:3, 3]
+            mk_uv[k : k + 4] = und[i]
+            mk_valid[k : k + 4] = True
+            k += 4
+        return jnp.asarray(mk_X), jnp.asarray(mk_uv), jnp.asarray(mk_valid)
+
     def track(self, world_map: Map, frame: Frame, prior: jnp.ndarray) -> TrackResult:
         st = world_map.state
         p = self.params
+        mk_X, mk_uv, mk_valid = self._marker_rows(world_map, frame)
         pose, ids, inlier, n_matched, n_inliers, vis, seen = _track_step(
             st,
             frame,
@@ -137,6 +202,7 @@ class Tracker:
             jnp.float32(p.projDistThr),
             jnp.float32(p.maxDescDistance),
             jnp.float32(p.scaleFactor),
+            mk_X, mk_uv, mk_valid,
         )
         n_inl = int(n_inliers)
         if n_inl < 15:
@@ -150,6 +216,7 @@ class Tracker:
                 jnp.float32(p.projDistThr * 2.5),
                 jnp.float32(p.maxDescDistance),
                 jnp.float32(p.scaleFactor),
+                mk_X, mk_uv, mk_valid,
             )
             n_inl = int(n_inliers)
         ok = n_inl >= 15
