@@ -47,6 +47,8 @@ def main(argv=None) -> int:
     ap.add_argument("--synthetic-points", type=int, default=1200)
     ap.add_argument("--synthetic-markers", type=int, default=0)
     ap.add_argument("--stereo", action="store_true")
+    ap.add_argument("--rgbd", action="store_true",
+                    help="TUM RGB-D: feed depth.txt frames through processRGBD")
     ap.add_argument("--gt", help="ground-truth file (KITTI poses.txt)")
     ap.add_argument("--camera")
     ap.add_argument(
@@ -86,6 +88,7 @@ def main(argv=None) -> int:
     )
 
     get_right = None
+    get_depth = None
     if args.synthetic:
         from ucoslam_tpu.io.synthetic import SyntheticSequence
 
@@ -149,6 +152,10 @@ def main(argv=None) -> int:
             )
             n = len(tum)
             get_img = lambda i: tum.read_rgb(i)  # noqa: E731
+            if args.rgbd:
+                # reference processRGBD ingest (ucoslam.cpp:23-27): raw
+                # 16-bit TUM depth scaled by rgb_depthscale in the extractor
+                get_depth = lambda i: tum.read_depth_for(i)  # noqa: E731
             stamps = [tum.rgb[i][0] for i in range(n)]
             gt_path = os.path.join(args.dataset, "groundtruth.txt")
         if gt_tuple is not None:
@@ -191,6 +198,8 @@ def main(argv=None) -> int:
         while i < n:
             if get_right is not None:
                 pose = slam.processStereo(get_img(i), get_right(i), fseq=i)
+            elif get_depth is not None:
+                pose = slam.processRGBD(get_img(i), get_depth(i), fseq=i)
             else:
                 pose = slam.process(get_img(i), fseq=i)
             fps = (i + 1) / max(time.time() - t0, 1e-9)
@@ -240,6 +249,8 @@ def main(argv=None) -> int:
     for i in range(n):
         if get_right is not None:
             pose = slam2.processStereo(get_img(i), get_right(i), fseq=i)
+        elif get_depth is not None:
+            pose = slam2.processRGBD(get_img(i), get_depth(i), fseq=i)
         else:
             pose = slam2.process(get_img(i), fseq=i)
         if pose is not None:
