@@ -175,3 +175,22 @@ class TestMarkerDetectorRestore:
         assert bool(np.asarray(f.markers.valid).any()), (
             "reloaded session no longer detects markers"
         )
+
+
+class TestUpdateParams:
+    def test_update_params_reaches_captured_copies(self):
+        """updateParams must propagate into every component's captured
+        Params (the recovery protocol's KF tightening was a silent no-op
+        when only the facade field changed)."""
+        seq = SyntheticSequence(n_frames=2, seed=1)
+        slam = UcoSlam()
+        slam.setParams(None, PARAMS, seq.cam)
+        tightened = slam._params.replace(KFMinConfidence=0.9, KFCulling=0.9)
+        slam.updateParams(tightened)
+        sysd = slam._system
+        for comp in (
+            sysd, sysd.tracker, sysd.initializer, sysd.manager,
+            sysd.manager.loop_detector,
+        ):
+            assert comp.params.KFMinConfidence == pytest.approx(0.9), comp
+            assert comp.params.KFCulling == pytest.approx(0.9), comp

@@ -184,6 +184,10 @@ int main(int argc, char **argv) {
     // frames, resetTracker, tighten KF params until 5 frames past the
     // loss point; restore params on re-acquire or on give-up.
     bool trackingStarted = false;
+    // a recovery rewind re-processes frames [i-15, i]; without this guard
+    // the re-tracked frames would be appended to pass1.tum again (duplicate
+    // stamps) and re-counted in tracked1, inflating the reference's stats
+    int maxLogged = -1;
     int recoveryLostFrame = std::numeric_limits<int>::max();
     float normalKFMinConfidence = params.KFMinConfidence;
     float normalKFCulling = params.KFCulling;
@@ -204,8 +208,11 @@ int main(int argc, char **argv) {
             pose = slam.process(img, ip, (uint32_t)i);
         }
         if (!pose.empty()) {
-            tracked1++;
-            writeTumLine(p1, items[i].stamp, pose);
+            if (i > maxLogged) {
+                tracked1++;
+                writeTumLine(p1, items[i].stamp, pose);
+                maxLogged = i;
+            }
             trackingStarted = trackingStarted || themap->keyframes.size() >= 5;
             if (i >= recoveryLostFrame) {
                 slam.getParams().KFMinConfidence = normalKFMinConfidence;

@@ -98,6 +98,15 @@ class UcoSlam:
     def setMode(self, mode: Mode) -> None:
         self._system.set_mode(mode)
 
+    def updateParams(self, params: Params) -> None:
+        """Change Params on a LIVE system (the reference mutates its shared
+        Params reference mid-run, e.g. the recovery protocol's KF
+        tightening, tests/test_sequence.cpp:268-296). Reaches every
+        component's captured copy — assigning to ._params alone does not."""
+        self._params = params
+        if self._system is not None:
+            self._system.set_params(params)
+
     def resetTracker(self) -> None:
         self._system.reset_tracker()
 
@@ -179,9 +188,30 @@ class UcoSlam:
             )
             kfdb.word_ids = jnp.asarray(arrays["kfdb_word_ids"])
             kfdb.word_w = jnp.asarray(arrays["kfdb_word_w"])
+        elif "kfdb_vocab" in arrays:
+            # legacy checkpoint (dense kfdb_vectors): no sparse postings,
+            # but the serialized vocabulary must still win over the default
+            # built-in one, or reloc/loop scoring changes after loading
+            from ucoslam_tpu.mapping.kfdatabase import KeyFrameDataBase
+
+            kfdb = KeyFrameDataBase(
+                max(self._map.keyframes.capacity, 1),
+                vocab=jnp.asarray(arrays["kfdb_vocab"]),
+                weights=(
+                    jnp.asarray(arrays["kfdb_weights"])
+                    if "kfdb_weights" in arrays
+                    else None
+                ),
+                dummy=bool(meta.get("kfdb_dummy", False)),
+            )
+            for s in self._map.keyframes.active_slots():
+                kfdb.add(
+                    int(s), self._map.state.kf_desc[int(s)],
+                    self._map.state.kf_kpt_valid[int(s)],
+                )
         else:
-            # legacy checkpoint (dense kfdb_vectors) or none: System
-            # re-derives the postings from the loaded keyframes
+            # no serialized database at all: System re-derives the
+            # postings from the loaded keyframes with the default vocab
             kfdb = None
         self._system = System(self._params, cam, self._map, kfdb=kfdb)
         # restore the full extractor configuration, marker detector included

@@ -194,6 +194,7 @@ def main(argv=None) -> int:
     last_ckpt_frame = 0
     recovered = 0
     recoveries_here = 0
+    tightened_until = -1  # frame past which normal params are restored
     with trace_cm:
         while i < n:
             if get_right is not None:
@@ -202,6 +203,12 @@ def main(argv=None) -> int:
                 pose = slam.processRGBD(get_img(i), get_depth(i), fseq=i)
             else:
                 pose = slam.process(get_img(i), fseq=i)
+            if pose is not None and 0 <= tightened_until <= i:
+                # re-acquired and past the loss point: restore normal KF
+                # params (reference restores 5 frames past the loss,
+                # tests/test_sequence.cpp:268-296)
+                slam.updateParams(params)
+                tightened_until = -1
             fps = (i + 1) / max(time.time() - t0, 1e-9)
             print(
                 f"|@# Image {i + 1}/{n} fps={fps:.2f} "
@@ -226,9 +233,15 @@ def main(argv=None) -> int:
                 # rollbacks per checkpoint region — then carry on forward
                 # (reloc may still re-acquire the map later).
                 slam.readFromFile(ckpt_path, cam)
-                slam._params = slam._params.replace(
-                    KFMinConfidence=0.9, KFCulling=0.9
-                )
+                # tightened params must reach the live System's captured
+                # copies (updateParams), not just the facade field —
+                # readFromFile just rebuilt System from the checkpoint's
+                # params, so a plain ._params assignment is a no-op
+                slam.updateParams(slam._params.replace(
+                    KFMinConfidence=0.9, KFCulling=0.9,
+                    projDistThr=1.5 * slam._params.projDistThr,
+                ))
+                tightened_until = i + 5
                 i = max(last_ckpt_frame, i - 15)
                 recovered += 1
                 recoveries_here += 1

@@ -181,6 +181,13 @@ def extract_patches(img: jnp.ndarray, xy: jnp.ndarray, radius: int) -> jnp.ndarr
     y0 = jnp.clip(jnp.round(xy[:, 1]).astype(jnp.int32) - radius, 0, h - P)
     x0 = jnp.clip(jnp.round(xy[:, 0]).astype(jnp.int32) - radius, 0, w - P)
     n = xy.shape[0]
+    if jax.default_backend() != "tpu":
+        # CPU/GPU: a plain 2D gather is fast and avoids the (N, W, P)
+        # one-hot selector (~150-300 MB of f32 intermediates at 2k
+        # keypoints on VGA), which only pays off on the TPU MXU
+        gy = y0[:, None, None] + jnp.arange(P)[None, :, None]
+        gx = x0[:, None, None] + jnp.arange(P)[None, None, :]
+        return img[gy, gx]
     rows_idx = (y0[:, None] + jnp.arange(P)).reshape(-1)  # (N*P,)
     rows = img[rows_idx].reshape(n, P, w)
     cols = x0[:, None] + jnp.arange(P)[None, :]  # (N, P)

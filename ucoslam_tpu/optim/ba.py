@@ -656,7 +656,9 @@ def ba_solve(
     )
     # pm crossover measured on TPU v5e: 7.3 ms/LM-iter vs dense 33.7 at
     # V=128; dense stays ahead only for small covis windows
-    if solver in ("auto", "cg") and V >= 128 and problem.cam_obs is not None:
+    # only "auto" may reroute to the point-major solver; an explicit
+    # solver="cg" request gets the stated matrix-free PCG path
+    if solver == "auto" and V >= 128 and problem.cam_obs is not None:
         from ucoslam_tpu.optim.schur_pm import pm_problem_for, pm_staged_lm
 
         pm = pm_problem_for(problem)

@@ -466,10 +466,11 @@ def pm_staged_lm(
     pt_pos = pm.pt_pos
     active = pm.o_valid
     all_costs = []
-    # n_macro relinearizations, iters/n_macro inner steps each (total LM
-    # steps = n_macro * R <= iters, exact when n_macro divides iters)
+    # n_macro relinearizations, ceil(iters/n_macro) inner steps each:
+    # total LM steps = n_macro * R >= iters (never fewer than requested;
+    # exact when n_macro divides iters)
     n_macro = max(1, -(-iters // max(1, relin_every)))
-    R = max(1, iters // n_macro)
+    R = max(1, -(-iters // n_macro))
     for stage in range(stages):
         robust = stage == 0
         w_info = active.astype(jnp.float32) / pm.o_sigma2.clip(1e-9)

@@ -386,6 +386,21 @@ class System:
     def set_mode(self, mode: Mode) -> None:
         self.mode = mode
 
+    def set_params(self, params: Params) -> None:
+        """Propagate a live Params change into every captured copy.
+
+        Tracker/MapManager/Initializer/LoopDetector all capture Params at
+        __init__; the recovery protocol tightens KF params on a running
+        System (the reference mutates the shared Params in place,
+        tests/test_sequence.cpp:268-296), so a replace on the facade must
+        reach them or the tightening is a silent no-op."""
+        params = params.effective()
+        self.params = params
+        self.tracker.params = params
+        self.initializer.params = params
+        self.manager.params = params
+        self.manager.loop_detector.params = params
+
     def reset_tracker(self) -> None:
         """Re-enter a known map (ucoslam.h:61 resetTracker)."""
         self.state = TrackingState.LOST
