@@ -59,6 +59,8 @@ class FrameExtractor:
             self.orb = GridExtractor(params)
         self.marker_detector = marker_detector
         self._sensitivity_boost = 0.0  # autoAdjustKpSensitivity state
+        self._ingest_cache = {}  # img shape -> jitted ingest program
+        self._pending_fill = None  # device scalar from the previous frame
 
     def _base_frame(self, img: np.ndarray, fseq: int) -> Frame:
         from ucoslam_tpu.utils import timers
@@ -66,39 +68,24 @@ class FrameExtractor:
         with timers.stage("extract"):
             return self._base_frame_impl(img, fseq)
 
-    def _base_frame_impl(self, img: np.ndarray, fseq: int) -> Frame:
-        gray = rgb_to_gray(jnp.asarray(img))
+    def _make_ingest(self, shape):
+        """One jitted program: gray -> (resize) -> detect+describe ->
+        undistort -> pad-to-capacity. A single dispatch per frame instead
+        of a dozen eager ops — on a remote-attached chip every eager op
+        costs a dispatch round trip, which dominated host wall-clock."""
+        cap = self.params.maxKeyPointsPerFrame
+        cam = self.cam
+        has_dist = cam.has_distortion()
+        orb = self.orb
         # optional detector-resolution reduction (kptImageScaleFactor,
         # ucoslamtypes.h:131; the reference resizes the gray image before
         # detection and keeps all downstream coordinates full-resolution).
         # targetFocus (ucoslamtypes.h:152) normalizes detector resolution
-        # across cameras: scale the image so its focal length matches the
-        # focus the keypoint parameters were tuned for.
+        # across cameras: scale so the focal length matches the focus the
+        # keypoint parameters were tuned for.
         ksf = float(self.params.kptImageScaleFactor)
         if self.params.targetFocus > 0:
-            ksf *= min(1.0, float(self.params.targetFocus) / float(self.cam.fx))
-        if ksf != 1.0:
-            H, W = gray.shape
-            small = (max(8, int(round(H * ksf))), max(8, int(round(W * ksf))))
-            gray_det = jax.image.resize(gray, small, method="linear")
-            kps = self.orb.detect_and_compute(gray_det)
-            kps = kps._replace(
-                xy=kps.xy / jnp.float32(ksf)  # back to full-res pixel coords
-            )
-        else:
-            kps = self.orb.detect_and_compute(gray)
-        if self.params.autoAdjustKpSensitivity:
-            # low-texture adaptation (ORBextractor::setSensitivity,
-            # ORBextractor.h:113): when the detector underfills its budget,
-            # lower the FAST threshold for subsequent frames; restore slowly
-            fill = float(np.asarray(kps.valid).mean())
-            if fill < 0.5 and getattr(self.orb, "fast_threshold", None):
-                self.orb.fast_threshold = max(3.0, self.orb.fast_threshold - 1.0)
-            elif fill > 0.9 and getattr(self.orb, "fast_threshold", 0) < 7.0:
-                self.orb.fast_threshold = min(7.0, self.orb.fast_threshold + 1.0)
-        und = self.cam.undistort_points(kps.xy) if self.cam.has_distortion() else kps.xy
-        f = empty_frame(self.params.maxKeyPointsPerFrame)
-        cap = self.params.maxKeyPointsPerFrame
+            ksf *= min(1.0, float(self.params.targetFocus) / float(cam.fx))
 
         def fit(a, fill=0):
             """Pad the detector's maxFeatures rows to the frame capacity."""
@@ -108,16 +95,59 @@ class FrameExtractor:
             pad = [(0, cap - n)] + [(0, 0)] * (a.ndim - 1)
             return jnp.pad(a, pad, constant_values=fill)
 
-        f = f._replace(
-            fseq=jnp.int32(fseq),
-            xy=fit(kps.xy),
-            und_xy=fit(und),
-            octave=fit(kps.octave),
-            angle=fit(kps.angle),
-            response=fit(kps.response),
-            desc=fit(kps.desc),
-            valid=fit(kps.valid, fill=False),
-        )
+        def ingest(img, threshold, fseq):
+            gray = rgb_to_gray(img)
+            if ksf != 1.0:
+                H, W = gray.shape
+                small = (max(8, int(round(H * ksf))), max(8, int(round(W * ksf))))
+                gray_det = jax.image.resize(gray, small, method="linear")
+                kps = orb._detect_and_compute(gray_det, threshold)
+                kps = kps._replace(xy=kps.xy / jnp.float32(ksf))
+            else:
+                kps = orb._detect_and_compute(gray, threshold)
+            und = cam.undistort_points(kps.xy) if has_dist else kps.xy
+            fill_frac = kps.valid.astype(jnp.float32).mean()
+            f = empty_frame(cap)
+            f = f._replace(
+                fseq=fseq,
+                xy=fit(kps.xy),
+                und_xy=fit(und),
+                octave=fit(kps.octave),
+                angle=fit(kps.angle),
+                response=fit(kps.response),
+                desc=fit(kps.desc),
+                valid=fit(kps.valid, fill=False),
+            )
+            return f, fill_frac
+
+        return jax.jit(ingest)
+
+    def _base_frame_impl(self, img: np.ndarray, fseq: int) -> Frame:
+        if self.params.autoAdjustKpSensitivity and self._pending_fill is not None:
+            # low-texture adaptation (ORBextractor::setSensitivity,
+            # ORBextractor.h:113): when the detector underfills its budget,
+            # lower the FAST threshold for subsequent frames; restore
+            # slowly. Uses the PREVIOUS frame's fill so the current frame
+            # needs no blocking device fetch.
+            fill = float(jax.device_get(self._pending_fill))
+            if fill < 0.5 and getattr(self.orb, "fast_threshold", None):
+                self.orb.fast_threshold = max(3.0, self.orb.fast_threshold - 1.0)
+            elif fill > 0.9 and getattr(self.orb, "fast_threshold", 0) < 7.0:
+                self.orb.fast_threshold = min(7.0, self.orb.fast_threshold + 1.0)
+        if hasattr(self.orb, "_detect_and_compute"):
+            key = img.shape
+            prog = self._ingest_cache.get(key)
+            if prog is None:
+                prog = self._ingest_cache[key] = self._make_ingest(key)
+            f, fill_frac = prog(
+                img, jnp.float32(self.orb.fast_threshold), np.int32(fseq)
+            )
+            if self.params.autoAdjustKpSensitivity:
+                self._pending_fill = fill_frac
+        else:
+            # cv2-backed GridExtractor path (host detector): keep the
+            # eager composition — the detector itself runs on host anyway
+            f = self._base_frame_grid(img, fseq)
         if self.params.detectMarkers and self.marker_detector is not None:
             f = f._replace(markers=self.marker_detector.detect(np.asarray(img), self.cam))
             if self.params.removeKeyPointsIntoMarkers:
@@ -130,6 +160,43 @@ class FrameExtractor:
                 )
                 f = f._replace(valid=f.valid & ~inside)
         return f
+
+    def _base_frame_grid(self, img: np.ndarray, fseq: int) -> Frame:
+        """Eager ingest for host (cv2) detectors — GridExtractor has no
+        jittable detect, so the composition stays on host."""
+        gray = rgb_to_gray(jnp.asarray(img))
+        ksf = float(self.params.kptImageScaleFactor)
+        if self.params.targetFocus > 0:
+            ksf *= min(1.0, float(self.params.targetFocus) / float(self.cam.fx))
+        if ksf != 1.0:
+            H, W = gray.shape
+            small = (max(8, int(round(H * ksf))), max(8, int(round(W * ksf))))
+            gray_det = jax.image.resize(gray, small, method="linear")
+            kps = self.orb.detect_and_compute(gray_det)
+            kps = kps._replace(xy=kps.xy / jnp.float32(ksf))
+        else:
+            kps = self.orb.detect_and_compute(gray)
+        und = self.cam.undistort_points(kps.xy) if self.cam.has_distortion() else kps.xy
+        cap = self.params.maxKeyPointsPerFrame
+
+        def fit(a, fill=0):
+            n = a.shape[0]
+            if n == cap:
+                return a
+            pad = [(0, cap - n)] + [(0, 0)] * (a.ndim - 1)
+            return jnp.pad(a, pad, constant_values=fill)
+
+        f = empty_frame(cap)
+        return f._replace(
+            fseq=jnp.int32(fseq),
+            xy=fit(kps.xy),
+            und_xy=fit(und),
+            octave=fit(kps.octave),
+            angle=fit(kps.angle),
+            response=fit(kps.response),
+            desc=fit(kps.desc),
+            valid=fit(kps.valid, fill=False),
+        )
 
     # -- monocular ------------------------------------------------------
     def process(self, img: np.ndarray, fseq: int = 0) -> Frame:

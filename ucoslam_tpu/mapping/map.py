@@ -410,10 +410,42 @@ class Map:
 
     def __init__(self, params: Params | None = None):
         self.params = params or Params()
+        self._host_cache: dict = {}
         self.state = empty_map_state(self.params)
         self.points = Arena(self.params.maxMapPoints)
         self.keyframes = Arena(self.params.maxKeyFrames)
         self.markers = Arena(self.params.maxMarkers)
+
+    # -- host mirror ----------------------------------------------------
+    # The canonical state lives on device; host-side orchestration reads
+    # small summaries of it constantly (keyframe policy, culling, covis
+    # walks). On a remote-attached chip every np.asarray(state.x) is a
+    # full round trip, so fetched fields are cached until the next state
+    # write (any assignment to .state invalidates).
+
+    @property
+    def state(self) -> MapState:
+        return self._state
+
+    @state.setter
+    def state(self, v: MapState) -> None:
+        self._state = v
+        self._host_cache.clear()
+
+    def h(self, *names: str):
+        """Cached host-numpy views of state fields; one bundled transfer
+        for all missing names. `map.h('pt_active')` or
+        `a, b = map.h('pt_active', 'kf_pose')`."""
+        missing = [n for n in names if n not in self._host_cache]
+        if missing:
+            import jax
+
+            vals = jax.device_get([getattr(self._state, n) for n in missing])
+            for n, v in zip(missing, vals):
+                self._host_cache[n] = v
+        if len(names) == 1:
+            return self._host_cache[names[0]]
+        return tuple(self._host_cache[n] for n in names)
 
     # -- capacity growth ------------------------------------------------
     # XLA needs static shapes, so the arenas are fixed-capacity arrays —
@@ -543,7 +575,11 @@ class Map:
         return self.keyframes.n_active
 
     def covis_matrix(self) -> np.ndarray:
-        return np.asarray(op_covis_matrix(self.state))
+        if "covis_matrix" not in self._host_cache:
+            self._host_cache["covis_matrix"] = np.asarray(
+                op_covis_matrix(self.state)
+            )
+        return self._host_cache["covis_matrix"]
 
     def essential_graph(self, min_weight: int = 15) -> list[tuple[int, int, float]]:
         """Essential graph over active keyframes: the MAXIMUM spanning tree
@@ -597,7 +633,11 @@ class Map:
         return edges
 
     def point_observation_counts(self) -> np.ndarray:
-        return np.asarray(op_point_observation_counts(self.state))
+        if "point_obs_counts" not in self._host_cache:
+            self._host_cache["point_obs_counts"] = np.asarray(
+                op_point_observation_counts(self.state)
+            )
+        return self._host_cache["point_obs_counts"]
 
     def global_reproj_chi2(self, cam: CameraParams) -> float:
         return float(_global_reproj_chi2_impl(self.state, cam))
@@ -607,7 +647,7 @@ class Map:
         act = self.keyframes.active_slots()
         if len(act) == 0:
             return -1
-        poses = np.asarray(self.state.kf_pose)[act]
+        poses = self.h("kf_pose")[act]
         centers = -np.einsum("kji,kj->ki", poses[:, :3, :3], poses[:, :3, 3])
         Rf = frame_pose[:3, :3]
         cf = -Rf.T @ frame_pose[:3, 3]
@@ -623,13 +663,11 @@ class Map:
         applyTransform(pose_g2m^-1)): the marker becomes the world origin.
         Returns True when the marker exists with a valid pose (the
         reference's C++ quirkily returns false even on success)."""
-        st = self.state
-        mk_id = np.asarray(st.mk_id)
-        mk_valid = np.asarray(st.mk_pose_valid)
+        mk_id, mk_valid = self.h("mk_id", "mk_pose_valid")
         hits = np.nonzero((mk_id == marker_id) & mk_valid)[0]
         if len(hits) == 0:
             return False
-        g2m = np.asarray(st.mk_pose)[hits[0]]
+        g2m = self.h("mk_pose")[hits[0]]
         self.apply_transform(np.linalg.inv(g2m).astype(np.float32))
         return True
 
@@ -642,13 +680,13 @@ class Map:
     def frame_median_depth(self, kf_slot: int) -> float:
         """Median depth of the points a keyframe observes
         (counterpart Map::getFrameMedianDepth)."""
-        st = self.state
-        ids = np.asarray(st.kf_ids)[kf_slot]
+        kf_ids, kf_pose, pt_pos = self.h("kf_ids", "kf_pose", "pt_pos")
+        ids = kf_ids[kf_slot]
         obs = ids[ids >= 0]
         if len(obs) == 0:
             return 1.0
-        T = np.asarray(st.kf_pose)[kf_slot]
-        pts = np.asarray(st.pt_pos)[obs]
+        T = kf_pose[kf_slot]
+        pts = pt_pos[obs]
         z = (pts @ T[:3, :3].T + T[:3, 3])[:, 2]
         return float(np.median(z))
 

@@ -16,6 +16,7 @@ detectMarkers=false).
 from __future__ import annotations
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from ucoslam_tpu.geometry.camera import CameraParams
@@ -146,15 +147,21 @@ class ArucoDetector:
             else jnp.asarray(corner_arr)
         sizes = jnp.full((MAX_MARKERS_PER_FRAME,), self.marker_size, jnp.float32)
         p1, p2, e1, e2 = ippe_square_poses(und, sizes, cam)
-        err_ratio = jnp.where(jnp.asarray(valid), e2 / jnp.clip(e1, 1e-9), 0.0)
+        # host-numpy leaves: every consumer of FrameMarkers (tracker marker
+        # rows, markermap bookkeeping, keyframe policy) reads these on host;
+        # one bundled fetch here beats a round trip per np.asarray later
+        und, p1, p2, e1, e2 = jax.device_get((und, p1, p2, e1, e2))
+        err_ratio = np.where(valid, e2 / np.clip(e1, 1e-9, None), 0.0).astype(
+            np.float32
+        )
         return FrameMarkers(
-            id=jnp.asarray(id_arr),
-            corners=jnp.asarray(corner_arr),
+            id=id_arr,
+            corners=corner_arr,
             und_corners=und,
             pose1=p1,
             pose2=p2,
             err_ratio=err_ratio,
-            valid=jnp.asarray(valid),
+            valid=valid,
         )
 
 
@@ -195,15 +202,17 @@ class SyntheticMarkerDetector:
         if k == 0:
             return out
         valid = np.arange(MAX_MARKERS_PER_FRAME) < k
-        und = jnp.asarray(corner_arr)
         sizes = jnp.full((MAX_MARKERS_PER_FRAME,), self.size, jnp.float32)
-        p1, p2, e1, e2 = ippe_square_poses(und, sizes, cam)
+        p1, p2, e1, e2 = ippe_square_poses(jnp.asarray(corner_arr), sizes, cam)
+        p1, p2, e1, e2 = jax.device_get((p1, p2, e1, e2))
         return FrameMarkers(
-            id=jnp.asarray(id_arr),
-            corners=jnp.asarray(corner_arr),
-            und_corners=und,
+            id=id_arr,
+            corners=corner_arr,
+            und_corners=corner_arr.copy(),
             pose1=p1,
             pose2=p2,
-            err_ratio=jnp.where(jnp.asarray(valid), e2 / jnp.clip(e1, 1e-9), 0.0),
-            valid=jnp.asarray(valid),
+            err_ratio=np.where(
+                valid, e2 / np.clip(e1, 1e-9, None), 0.0
+            ).astype(np.float32),
+            valid=valid,
         )

@@ -40,6 +40,7 @@ import queue
 import threading
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from ucoslam_tpu.config import Params
@@ -51,9 +52,8 @@ from ucoslam_tpu.mapping.map import FLAG_STEREO, Map
 from ucoslam_tpu.matching.matcher import match_frames_epipolar
 
 
-def _frame_from_kf(world_map: Map, slot: int) -> Frame:
-    """Materialize a keyframe slot back into a Frame view."""
-    st = world_map.state
+@jax.jit
+def _frame_from_kf_op(st, slot) -> Frame:
     from ucoslam_tpu.mapping.frame import empty_markers
 
     return Frame(
@@ -70,6 +70,36 @@ def _frame_from_kf(world_map: Map, slot: int) -> Frame:
         pose_f2g=st.kf_pose[slot],
         markers=empty_markers(),
     )
+
+
+def _frame_from_kf(world_map: Map, slot: int) -> Frame:
+    """Materialize a keyframe slot back into a Frame view (one dispatch:
+    the eager per-field slicing cost ~18 device round trips per call)."""
+    return _frame_from_kf_op(world_map.state, jnp.int32(slot))
+
+
+@jax.jit
+def _epipolar_pair_op(st, cur_slot, nb_slot, cam, max_desc_dist, scale_factor):
+    """Epipolar match + triangulate one keyframe pair, fully on device.
+
+    Returns (ok, train_idx, X): per-cur-keypoint new-point candidates
+    (FrameMatcher::matchEpipolar + Triangulate, mapmanager.cpp:3728-3816).
+    """
+    cur = _frame_from_kf_op(st, cur_slot)
+    other = _frame_from_kf_op(st, nb_slot)
+    F12 = fundamental_from_poses(cur.pose_f2g, other.pose_f2g, cam, cam)
+    log_sf = jnp.log(scale_factor)
+    sigma2_other = jnp.exp(2.0 * other.octave.astype(jnp.float32) * log_sf)
+    matches = match_frames_epipolar(
+        cur, other, F12, sigma2_other, max_desc_dist, only_unassigned=True
+    )
+    t_idx = jnp.where(matches.valid, matches.train_idx, 0)
+    sigma2_1 = jnp.exp(2.0 * cur.octave.astype(jnp.float32) * log_sf)
+    X, ok = triangulate_checked(
+        cur.und_xy, other.und_xy[t_idx], cur.pose_f2g, other.pose_f2g,
+        cam, cam, sigma2_1, sigma2_other[t_idx],
+    )
+    return ok & matches.valid, matches.train_idx, X
 
 
 def fuse_duplicates_into_kf(world_map: Map, kf_slot: int, cam, params) -> int:
@@ -94,9 +124,8 @@ def fuse_duplicates_into_kf(world_map: Map, kf_slot: int, cam, params) -> int:
         jnp.float32(params.maxDescDistance * 0.6),
         jnp.float32(params.scaleFactor),
     )
-    kpt_idx = np.asarray(m.kpt_idx)
-    mvalid = np.asarray(m.point_valid)
-    ids = np.asarray(st.kf_ids)[kf_slot]
+    kpt_idx, mvalid = jax.device_get((m.kpt_idx, m.point_valid))
+    ids = world_map.h("kf_ids")[kf_slot]
     obs_counts = world_map.point_observation_counts()
     # vectorized pair resolution: each projected point p that lands on
     # a keypoint already claimed by a different point q is a duplicate
@@ -123,7 +152,7 @@ def fuse_duplicates_into_kf(world_map: Map, kf_slot: int, cam, params) -> int:
         if (nxt == remap).all():
             break
         remap = nxt
-    kf_ids_all = np.asarray(st.kf_ids)
+    kf_ids_all = world_map.h("kf_ids").copy()
     obs = kf_ids_all >= 0
     kf_ids_all = np.where(obs, remap[np.clip(kf_ids_all, 0, None)], kf_ids_all)
     fused = np.nonzero(remap != np.arange(st.P))[0]
@@ -266,7 +295,7 @@ class MapManager:
                     self.last_scale_correction = 1.0
                     loops_before = self.loop_closures
                     kf_slot = self.new_keyframe(world_map, frame)
-                    pose_after = np.asarray(world_map.state.kf_pose[kf_slot])
+                    pose_after = world_map.h("kf_pose")[kf_slot]
                     self._publish_update(
                         pose_before, pose_after,
                         self.last_scale_correction,
@@ -294,7 +323,7 @@ class MapManager:
         # state snapshot — drop ids whose slots were freed/recycled meanwhile
         ids = np.asarray(frame.ids)
         if (ids >= 0).any():
-            alive = np.asarray(world_map.state.pt_active)
+            alive = world_map.h("pt_active")
             stale = (ids >= 0) & ~alive[np.clip(ids, 0, len(alive) - 1)]
             if stale.any():
                 frame = frame._replace(
@@ -377,7 +406,7 @@ class MapManager:
             info = self.loop_detector.detect_from_keypoints(world_map, kf_slot, frame)
         if info is None or not info.found:
             return
-        fix_scale = bool(np.asarray(world_map.state.kf_depth > 0).any())
+        fix_scale = bool((world_map.h("kf_depth") > 0).any())
         if self.loop_detector.correct_map(world_map, info, fix_scale=fix_scale):
             self.loop_closures += 1
             from ucoslam_tpu.optim.ba import global_bundle_adjustment
@@ -449,49 +478,43 @@ class MapManager:
             if others:
                 neighbours = [int(others[-1])]
         budget = p.maxNewPoints
-        cur = _frame_from_kf(world_map, kf_slot)
         # mono conditioning gate (reference getFrameMedianDepth +
         # baseline_medianDepth_ratio_min): a neighbour whose baseline is
         # tiny relative to the scene depth triangulates garbage that BA
         # then has to absorb — skip it
         median_depth = world_map.frame_median_depth(kf_slot)
         min_baseline = p.baseline_medianDepth_ratio_min * max(median_depth, 1e-6)
+        # baseline pre-filter from the cached host poses (no device trips)
+        kf_pose = world_map.h("kf_pose")
+        T1 = kf_pose[kf_slot]
+        c1 = -T1[:3, :3].T @ T1[:3, 3]
+        good = []
         for nb in neighbours:
+            T2 = kf_pose[nb]
+            c2 = -T2[:3, :3].T @ T2[:3, 3]
+            if float(np.linalg.norm(c1 - c2)) >= max(1e-4, min_baseline):
+                good.append(nb)
+        if not good:
+            return
+        # one dispatch per neighbour (same traced program — nb is a traced
+        # scalar), then a single bundled fetch for every result: the old
+        # loop paid 3+ blocking round trips per neighbour
+        st = world_map.state
+        results = [
+            _epipolar_pair_op(
+                st, jnp.int32(kf_slot), jnp.int32(nb), self.cam,
+                jnp.float32(p.maxDescDistance), jnp.float32(p.scaleFactor),
+            )
+            for nb in good
+        ]
+        results = jax.device_get(results)
+        cur_desc = world_map.h("kf_desc")[kf_slot]
+        cur_oct = world_map.h("kf_octave")[kf_slot]
+        taken = np.zeros(st.N, bool)  # kpt of cur already got a point
+        for nb, (ok, train_idx, X) in zip(good, results):
             if budget <= 0:
                 break
-            other = _frame_from_kf(world_map, nb)
-            T1 = np.asarray(cur.pose_f2g)
-            T2 = np.asarray(other.pose_f2g)
-            c1 = -T1[:3, :3].T @ T1[:3, 3]
-            c2 = -T2[:3, :3].T @ T2[:3, 3]
-            baseline = float(np.linalg.norm(c1 - c2))
-            if baseline < max(1e-4, min_baseline):
-                continue
-            F12 = fundamental_from_poses(
-                cur.pose_f2g, other.pose_f2g, self.cam, self.cam
-            )
-            sf = jnp.float32(p.scaleFactor)
-            sigma2_other = jnp.exp(
-                2.0 * other.octave.astype(jnp.float32) * jnp.log(sf)
-            )
-            matches = match_frames_epipolar(
-                cur, other, F12, sigma2_other,
-                jnp.float32(p.maxDescDistance), only_unassigned=True,
-            )
-            mvalid = np.asarray(matches.valid)
-            if mvalid.sum() == 0:
-                continue
-            t_idx = jnp.where(matches.valid, matches.train_idx, 0)
-            uv1 = cur.und_xy
-            uv2 = other.und_xy[t_idx]
-            sigma2_1 = jnp.exp(2.0 * cur.octave.astype(jnp.float32) * jnp.log(sf))
-            sigma2_2 = sigma2_other[t_idx]
-            X, ok = triangulate_checked(
-                uv1, uv2, cur.pose_f2g, other.pose_f2g, self.cam, self.cam,
-                sigma2_1, sigma2_2,
-            )
-            ok = np.asarray(ok) & mvalid
-            idx1 = np.nonzero(ok)[0]
+            idx1 = np.nonzero(ok & ~taken)[0]
             if len(idx1) == 0:
                 continue
             if len(idx1) > budget:
@@ -500,19 +523,18 @@ class MapManager:
             if avail <= 0:
                 break
             idx1 = idx1[:avail]
-            idx2 = np.asarray(matches.train_idx)[idx1]
-            Xn = np.asarray(X)[idx1]
-            T = np.asarray(cur.pose_f2g)
-            center = -T[:3, :3].T @ T[:3, 3]
-            rays = Xn - center
+            taken[idx1] = True
+            idx2 = train_idx[idx1]
+            Xn = X[idx1]
+            rays = Xn - c1
             dist = np.linalg.norm(rays, axis=1).clip(1e-9)
-            octave = np.asarray(cur.octave)[idx1]
+            octave = cur_oct[idx1]
             max_d = dist * p.scaleFactor**octave
             min_d = max_d / p.scaleFactor ** (p.nOctaveLevels - 1)
             slots = world_map.add_points(
                 pos=Xn,
                 normal=rays / dist[:, None],
-                desc=np.asarray(cur.desc)[idx1],
+                desc=cur_desc[idx1],
                 min_dist=min_d,
                 max_dist=max_d,
                 flags=np.zeros(len(idx1), np.int32),
@@ -521,8 +543,6 @@ class MapManager:
             world_map.set_observations(kf_slot, idx1.astype(np.int32), slots)
             world_map.set_observations(nb, idx2.astype(np.int32), slots)
             budget -= len(idx1)
-            # refresh current view so next neighbour sees assignments
-            cur = _frame_from_kf(world_map, kf_slot)
 
     # ------------------------------------------------------------------
     def _fuse_duplicates(self, world_map: Map, kf_slot: int):
@@ -538,7 +558,7 @@ class MapManager:
             return
         covis = world_map.covis_matrix()
         obs_counts = world_map.point_observation_counts()
-        kf_ids = np.asarray(world_map.state.kf_ids)
+        kf_ids = world_map.h("kf_ids")
         candidates = [int(s) for s in np.nonzero(covis[kf_slot] > 0)[0] if s != kf_slot]
         # never cull the two oldest (gauge anchors)
         anchors = set(world_map.keyframes.active_slots()[:2].tolist())
@@ -575,13 +595,14 @@ class MapManager:
         the map for >= 2 keyframes, or (b) it is older than 3 keyframes and
         observed by fewer than minNumProjPoints keyframes.
         """
-        st = world_map.state
-        active = np.asarray(st.pt_active)
+        active, n_seen, n_vis, creation = world_map.h(
+            "pt_active", "pt_n_seen", "pt_n_visible", "pt_creation_kf"
+        )
         if not active.any():
             return
-        n_seen = np.asarray(st.pt_n_seen).astype(np.float32)
-        n_vis = np.asarray(st.pt_n_visible).astype(np.float32).clip(1)
-        age = self.kf_counter - np.asarray(st.pt_creation_kf)
+        n_seen = n_seen.astype(np.float32)
+        n_vis = n_vis.astype(np.float32).clip(1)
+        age = self.kf_counter - creation
         obs_counts = world_map.point_observation_counts()
         bad_ratio = (n_seen / n_vis < 0.25) & (age >= 2)
         bad_obs = (age >= 3) & (obs_counts < self.params.minNumProjPoints)

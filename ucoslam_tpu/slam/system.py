@@ -315,13 +315,19 @@ class System:
             or self.frames_since_kf >= 20
         )
         if not need and self.cam.bl > 0:
-            depth = np.asarray(res.frame.depth)
-            close = (depth > 0) & (depth < 40.0 * self.cam.bl)
-            ids = np.asarray(res.frame.ids)
-            tracked_close = int((close & (ids >= 0)).sum())
-            creatable = int(
-                (close & (ids < 0) & np.asarray(res.frame.valid)).sum()
+            # host copies came with the tracker's bundled fetch
+            depth = res.host_depth if res.host_depth is not None else (
+                np.asarray(res.frame.depth)
             )
+            ids = res.host_ids if res.host_ids is not None else (
+                np.asarray(res.frame.ids)
+            )
+            kvalid = res.host_valid if res.host_valid is not None else (
+                np.asarray(res.frame.valid)
+            )
+            close = (depth > 0) & (depth < 40.0 * self.cam.bl)
+            tracked_close = int((close & (ids >= 0)).sum())
+            creatable = int((close & (ids < 0) & kvalid).sum())
             need = tracked_close < 100 and creatable > 70
         confidence = res.n_inliers / max(res.n_matches, 1)
         qualifies = res.n_inliers >= 20 and confidence >= p.KFMinConfidence

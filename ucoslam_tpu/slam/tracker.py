@@ -38,6 +38,11 @@ class TrackResult(NamedTuple):
     matched_point_slots: np.ndarray  # (n,) int32 slots of inlier points
     vis_mask: jnp.ndarray | None = None  # (P,) bool — points searched this frame
     seen_mask: jnp.ndarray | None = None  # (P,) bool — points matched inlier
+    # host copies fetched in the same bundled transfer as the pose (the
+    # keyframe decision reads them; refetching costs a round trip each)
+    host_ids: np.ndarray | None = None  # (N,) int32
+    host_depth: np.ndarray | None = None  # (N,) float32
+    host_valid: np.ndarray | None = None  # (N,) bool
 
 
 #: marker corner rows appended to the motion-only LM (4 per frame marker)
@@ -156,18 +161,25 @@ class Tracker:
         self.params = params
         self.cam = cam
         self._key = jax.random.PRNGKey(0xC0FFEE)
+        # constant zero marker rows, created ONCE (three fresh device
+        # uploads per frame otherwise — pure round-trip waste)
+        self._zero_mk = (
+            jnp.zeros((_MK_ROWS, 3), jnp.float32),
+            jnp.zeros((_MK_ROWS, 2), jnp.float32),
+            jnp.zeros((_MK_ROWS,), bool),
+        )
 
     def _marker_rows(self, world_map: Map, frame: Frame):
         """Fixed 3D->2D corner correspondences for frame markers whose map
         pose is valid (MarkerEdgeOnlyProject inputs, pnpsolver.cpp:280-299)."""
+        if not self.params.detectMarkers:
+            return self._zero_mk
+        f_valid = np.asarray(frame.markers.valid)
+        if not f_valid.any():
+            return self._zero_mk
         mk_X = np.zeros((_MK_ROWS, 3), np.float32)
         mk_uv = np.zeros((_MK_ROWS, 2), np.float32)
         mk_valid = np.zeros((_MK_ROWS,), bool)
-        if not self.params.detectMarkers:
-            return jnp.asarray(mk_X), jnp.asarray(mk_uv), jnp.asarray(mk_valid)
-        f_valid = np.asarray(frame.markers.valid)
-        if not f_valid.any():
-            return jnp.asarray(mk_X), jnp.asarray(mk_uv), jnp.asarray(mk_valid)
         from ucoslam_tpu.markers.ippe import marker_object_points
 
         st = world_map.state
@@ -204,7 +216,15 @@ class Tracker:
             jnp.float32(p.scaleFactor),
             mk_X, mk_uv, mk_valid,
         )
-        n_inl = int(n_inliers)
+        # ONE bundled transfer for everything the host-side control flow
+        # needs (device_get issues the copies async then blocks once; a
+        # remote chip charges a full round trip per separate fetch)
+        fetch = [pose, ids, inlier, n_matched, n_inliers, frame.depth,
+                 frame.valid]
+        pose_np, ids_np, inlier_np, n_matched, n_inl, depth_np, valid_np = (
+            jax.device_get(tuple(fetch))
+        )
+        n_inl = int(n_inl)
         if n_inl < 15:
             # One retry with a widened search radius (the reference widens
             # projDistThr when tracking weakens).
@@ -218,18 +238,24 @@ class Tracker:
                 jnp.float32(p.scaleFactor),
                 mk_X, mk_uv, mk_valid,
             )
-            n_inl = int(n_inliers)
+            pose_np, ids_np, inlier_np, n_matched, n_inl = jax.device_get(
+                (pose, ids, inlier, n_matched, n_inliers)
+            )
+            n_inl = int(n_inl)
         ok = n_inl >= 15
-        slots = np.nonzero(np.asarray(inlier))[0].astype(np.int32)
+        slots = np.nonzero(inlier_np)[0].astype(np.int32)
         return TrackResult(
             ok=ok,
-            pose_f2g=pose,
+            pose_f2g=pose_np,
             frame=frame._replace(ids=ids, pose_f2g=pose),
             n_matches=int(n_matched),
             n_inliers=n_inl,
             matched_point_slots=slots,
             vis_mask=vis if ok else None,
             seen_mask=seen if ok else None,
+            host_ids=ids_np,
+            host_depth=depth_np,
+            host_valid=valid_np,
         )
 
     def relocalize(

@@ -27,7 +27,10 @@ def enable_compile_cache(cache_dir: str | None = None) -> None:
         d = os.path.join(d, jax.default_backend())
         os.makedirs(d, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", d)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+        # persist EVERYTHING: on the tunnel backend even "fast" compiles
+        # cost ~0.45s each, and a run dispatches hundreds of small programs
+        # (a 0.5s threshold silently recompiled 223 of 300 programs per run)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
     except Exception as e:  # cache is an optimization; never fail over it
         print(f"compile cache disabled: {e}", file=sys.stderr)
