@@ -77,6 +77,12 @@ class UcoSlam:
         self._map = None
 
     # -- per-frame processing (ucoslam.cpp:20-28) -----------------------
+    def prefetch(self, img: np.ndarray) -> None:
+        """Hint: `img` will be the next process() argument — start its
+        host->device upload now so it overlaps this frame's host work."""
+        if self._extractor is not None:
+            self._extractor.prefetch(img)
+
     def process(self, img: np.ndarray, fseq: int = 0) -> np.ndarray | None:
         """Monocular frame -> pose_f2g (4x4) or None when lost."""
         f = self._extractor.process(img, fseq)

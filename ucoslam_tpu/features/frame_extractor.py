@@ -61,6 +61,25 @@ class FrameExtractor:
         self._sensitivity_boost = 0.0  # autoAdjustKpSensitivity state
         self._ingest_cache = {}  # img shape -> jitted ingest program
         self._pending_fill = None  # device scalar from the previous frame
+        self._prefetched = None  # (id(img), device buffer)
+
+    def prefetch(self, img: np.ndarray) -> None:
+        """Start the host->device copy of the NEXT frame's image early.
+
+        On a remote-attached chip the image upload is a bandwidth-bound
+        serial step at the head of every frame; harness loops that know
+        the next image can overlap it with the current frame's host work.
+        """
+        import jax
+
+        self._prefetched = (id(img), jax.device_put(img))
+
+    def _take_prefetched(self, img: np.ndarray):
+        if self._prefetched is not None and self._prefetched[0] == id(img):
+            buf = self._prefetched[1]
+            self._prefetched = None
+            return buf
+        return img
 
     def _base_frame(self, img: np.ndarray, fseq: int) -> Frame:
         from ucoslam_tpu.utils import timers
@@ -139,11 +158,14 @@ class FrameExtractor:
             prog = self._ingest_cache.get(key)
             if prog is None:
                 prog = self._ingest_cache[key] = self._make_ingest(key)
+            dev_img = self._take_prefetched(img)
             f, fill_frac = prog(
-                img, jnp.float32(self.orb.fast_threshold), np.int32(fseq)
+                dev_img, jnp.float32(self.orb.fast_threshold), np.int32(fseq)
             )
             if self.params.autoAdjustKpSensitivity:
                 self._pending_fill = fill_frac
+            # host-scalar fseq: int(frame.fseq) must never be a device fetch
+            f = f._replace(fseq=np.int32(fseq))
         else:
             # cv2-backed GridExtractor path (host detector): keep the
             # eager composition — the detector itself runs on host anyway

@@ -741,9 +741,7 @@ def build_ba_problem(
     vertices entered).
     """
     st = world_map.state
-    kf_active = np.asarray(st.kf_active)
-    kf_ids = np.asarray(st.kf_ids)
-    kf_depth_all = np.asarray(st.kf_depth)
+    kf_active = world_map.h("kf_active")
     if used_kfs is None:
         used_kfs = np.nonzero(kf_active)[0]
     used_kfs = np.asarray(sorted(int(s) for s in used_kfs), np.int32)
@@ -755,12 +753,22 @@ def build_ba_problem(
     )
     kf_index = {int(s): i for i, s in enumerate(all_kfs)}
 
+    # fetch ONLY the window keyframes' rows, gathered on device first:
+    # the full (K, N) arenas run to megabytes and the link to a
+    # remote-attached chip moves ~10 MB/s — full-arena fetches were the
+    # dominant cost of every local BA
+    rows = jnp.asarray(all_kfs)
+    kf_ids, kf_depth_all, kf_xy, kf_oct, kf_pose_w = jax.device_get((
+        st.kf_ids[rows], st.kf_depth[rows], st.kf_xy[rows],
+        st.kf_octave[rows], st.kf_pose[rows],
+    ))
+
     # observations of points by the window keyframes
     obs_cam, obs_pt_slot, obs_kpt = [], [], []
-    for s in all_kfs:
-        ids = kf_ids[s]
+    for i, s in enumerate(all_kfs):
+        ids = kf_ids[i]
         sel = np.nonzero(ids >= 0)[0]
-        obs_cam.append(np.full(len(sel), kf_index[int(s)], np.int32))
+        obs_cam.append(np.full(len(sel), i, np.int32))
         obs_pt_slot.append(ids[sel])
         obs_kpt.append(sel)
     obs_cam = np.concatenate(obs_cam) if obs_cam else np.zeros(0, np.int32)
@@ -768,7 +776,7 @@ def build_ba_problem(
     obs_kpt = np.concatenate(obs_kpt) if obs_kpt else np.zeros(0, np.int32)
 
     # points: those observed >= min_obs times within the window (or stereo)
-    depth_per_obs = kf_depth_all[all_kfs[obs_cam], obs_kpt]
+    depth_per_obs = kf_depth_all[obs_cam, obs_kpt]
     uniq, counts = np.unique(obs_pt_slot, return_counts=True)
     pt_count = dict(zip(uniq.tolist(), counts.tolist()))
     stereo_pts = set(obs_pt_slot[depth_per_obs > 0].tolist())
@@ -797,12 +805,10 @@ def build_ba_problem(
     obs_cam, obs_pt, obs_kpt = obs_cam[keep], obs_pt[keep], obs_kpt[keep]
 
     O = len(obs_cam)
-    kf_xy = np.asarray(st.kf_xy)
-    kf_oct = np.asarray(st.kf_octave)
     sf = world_map.params.scaleFactor
-    obs_uv = kf_xy[all_kfs[obs_cam], obs_kpt]
-    obs_sigma2 = sf ** (2.0 * kf_oct[all_kfs[obs_cam], obs_kpt])
-    obs_depth = kf_depth_all[all_kfs[obs_cam], obs_kpt]
+    obs_uv = kf_xy[obs_cam, obs_kpt]
+    obs_sigma2 = sf ** (2.0 * kf_oct[obs_cam, obs_kpt])
+    obs_depth = kf_depth_all[obs_cam, obs_kpt]
 
     # per-point obs table
     MO = max_obs_per_point
@@ -827,13 +833,13 @@ def build_ba_problem(
 
     cam_fixed = np.asarray([int(s) in fixed_set for s in all_kfs])
     cam_pose = np.tile(np.eye(4, dtype=np.float32), (Kb, 1, 1))
-    cam_pose[: len(all_kfs)] = np.asarray(st.kf_pose)[all_kfs]
+    cam_pose[: len(all_kfs)] = kf_pose_w
     cam_fixed_p = np.ones(Kb, bool)  # padded cameras held fixed
     cam_fixed_p[: len(all_kfs)] = cam_fixed
     cam_valid_p = np.zeros(Kb, bool)
     cam_valid_p[: len(all_kfs)] = True
     pt_pos_p = np.zeros((Pb, 3), np.float32)
-    pt_pos_p[: len(pt_slots)] = np.asarray(st.pt_pos)[pt_slots]
+    pt_pos_p[: len(pt_slots)] = world_map.h("pt_pos")[pt_slots]
     pt_valid_p = np.zeros(Pb, bool)
     pt_valid_p[: len(pt_slots)] = True
 
@@ -858,11 +864,12 @@ def build_ba_problem(
     if params_m.detectMarkers:
         from ucoslam_tpu.markers.ippe import marker_object_points
 
-        mk_pose_arr = np.asarray(st.mk_pose)
-        mk_size = np.asarray(st.mk_size)
-        mk_pose_valid = np.asarray(st.mk_pose_valid)
-        kf_mk_slot = np.asarray(st.kf_mk_slot)
-        kf_mk_corners = np.asarray(st.kf_mk_corners)
+        mk_pose_arr, mk_size, mk_pose_valid, kf_mk_slot, kf_mk_corners = (
+            world_map.h(
+                "mk_pose", "mk_size", "mk_pose_valid", "kf_mk_slot",
+                "kf_mk_corners",
+            )
+        )
 
         # vertex set: valid-pose markers observed by any window keyframe
         # (the metric lock in slam/mapmanager guarantees stored poses are
@@ -890,7 +897,7 @@ def build_ba_problem(
             # per-frame keypoint weight mass (globaloptimizer_g2o.cpp:248,271:
             # mono edges add 2/sf^oct, stereo 3/sf^oct)
             kpw = np.zeros(len(all_kfs), np.float64)
-            inv_scale = sf ** (-kf_oct[all_kfs[obs_cam], obs_kpt].astype(np.float64))
+            inv_scale = sf ** (-kf_oct[obs_cam, obs_kpt].astype(np.float64))
             np.add.at(kpw, obs_cam, np.where(obs_depth > 0, 3.0, 2.0) * inv_scale)
             n_mk_frame = np.zeros(len(all_kfs), np.int32)
             for slot, obs in seen.items():
@@ -1029,18 +1036,27 @@ def apply_ba_result(
     world_map.state = st
     n_bad = 0
     if remove_bad:
-        bad = np.asarray(result.obs_bad)
+        bad, obs_cam_h, obs_pt_h = jax.device_get(
+            (result.obs_bad, problem.obs_cam, problem.obs_pt)
+        )
         if bad.any():
-            # batched clear: one boolean mask over the whole kf_ids arena
-            cams = np.asarray(kf_slots)[np.asarray(problem.obs_cam)[bad]]
-            pts = np.asarray(pt_slots)[np.asarray(problem.obs_pt)[bad]]
-            kf_ids = np.asarray(world_map.state.kf_ids).copy()
-            clear = np.zeros_like(kf_ids, bool)
-            hits = kf_ids[cams] == pts[:, None]  # (B, n_kpt)
-            np.logical_or.at(clear, cams, hits)
+            # clear only the AFFECTED keyframe rows (device-gathered):
+            # round-tripping the whole (K, N) kf_ids arena costs ~50ms/MB
+            # on a remote-attached chip
+            cams = np.asarray(kf_slots)[obs_cam_h[bad]]
+            pts = np.asarray(pt_slots)[obs_pt_h[bad]]
+            uniq = np.unique(cams)
+            ci = {int(s): i for i, s in enumerate(uniq)}
+            rows_d = jnp.asarray(uniq)
+            rows = np.array(world_map.state.kf_ids[rows_d])  # writable copy
+            hits = rows[[ci[int(c)] for c in cams]] == pts[:, None]
+            clear = np.zeros_like(rows, bool)
+            np.logical_or.at(clear, [ci[int(c)] for c in cams], hits)
             n_bad = int(clear.sum())
-            kf_ids[clear] = -1
-            world_map.state = world_map.state._replace(kf_ids=jnp.asarray(kf_ids))
+            rows[clear] = -1
+            world_map.state = world_map.state._replace(
+                kf_ids=world_map.state.kf_ids.at[rows_d].set(jnp.asarray(rows))
+            )
     return n_bad
 
 

@@ -102,6 +102,22 @@ def _epipolar_pair_op(st, cur_slot, nb_slot, cam, max_desc_dist, scale_factor):
     return ok & matches.valid, matches.train_idx, X
 
 
+#: neighbour-batch width for the vmapped epipolar program (pad to fixed)
+_EPI_MAX_NB = 6
+
+
+@jax.jit
+def _epipolar_pairs_vmap(st, cur_slot, nb_slots, cam, max_desc_dist, scale_factor):
+    """All covis neighbours in one program: vmap over the neighbour axis
+    turns six ~70ms dispatches into one (the hamming/triangulation math
+    batches onto the MXU for free)."""
+    return jax.vmap(
+        lambda nb: _epipolar_pair_op(
+            st, cur_slot, nb, cam, max_desc_dist, scale_factor
+        )
+    )(nb_slots)
+
+
 def fuse_duplicates_into_kf(world_map: Map, kf_slot: int, cam, params) -> int:
     """Merge duplicate map points seen by keyframe `kf_slot`
     (counterpart Map::fuseMapPoints, map.cpp:264; mapmanager.cpp:8720).
@@ -124,8 +140,9 @@ def fuse_duplicates_into_kf(world_map: Map, kf_slot: int, cam, params) -> int:
         jnp.float32(params.maxDescDistance * 0.6),
         jnp.float32(params.scaleFactor),
     )
-    kpt_idx, mvalid = jax.device_get((m.kpt_idx, m.point_valid))
-    ids = world_map.h("kf_ids")[kf_slot]
+    kpt_idx, mvalid, ids = jax.device_get(
+        (m.kpt_idx, m.point_valid, st.kf_ids[kf_slot])
+    )
     obs_counts = world_map.point_observation_counts()
     # vectorized pair resolution: each projected point p that lands on
     # a keypoint already claimed by a different point q is a duplicate
@@ -152,16 +169,24 @@ def fuse_duplicates_into_kf(world_map: Map, kf_slot: int, cam, params) -> int:
         if (nxt == remap).all():
             break
         remap = nxt
-    kf_ids_all = world_map.h("kf_ids").copy()
-    obs = kf_ids_all >= 0
-    kf_ids_all = np.where(obs, remap[np.clip(kf_ids_all, 0, None)], kf_ids_all)
     fused = np.nonzero(remap != np.arange(st.P))[0]
     world_map.points.free(fused)
-    world_map.state = world_map.state._replace(
-        kf_ids=jnp.asarray(kf_ids_all),
-        pt_active=jnp.asarray(world_map.points.active),
+    # apply the remap to every keyframe row ON DEVICE (uploading the (P,)
+    # remap beats round-tripping the whole (K, N) kf_ids arena twice)
+    world_map.state = _op_apply_remap(
+        world_map.state, jnp.asarray(remap), jnp.asarray(world_map.points.active)
     )
     return len(fused)
+
+
+@jax.jit
+def _op_apply_remap(st, remap, pt_active):
+    kf_ids = st.kf_ids
+    remapped = remap[jnp.clip(kf_ids, 0, None)]
+    return st._replace(
+        kf_ids=jnp.where(kf_ids >= 0, remapped, kf_ids),
+        pt_active=pt_active,
+    )
 
 
 class MapManager:
@@ -406,7 +431,7 @@ class MapManager:
             info = self.loop_detector.detect_from_keypoints(world_map, kf_slot, frame)
         if info is None or not info.found:
             return
-        fix_scale = bool((world_map.h("kf_depth") > 0).any())
+        fix_scale = bool(np.asarray((world_map.state.kf_depth > 0).any()))
         if self.loop_detector.correct_map(world_map, info, fix_scale=fix_scale):
             self.loop_closures += 1
             from ucoslam_tpu.optim.ba import global_bundle_adjustment
@@ -496,20 +521,21 @@ class MapManager:
                 good.append(nb)
         if not good:
             return
-        # one dispatch per neighbour (same traced program — nb is a traced
-        # scalar), then a single bundled fetch for every result: the old
-        # loop paid 3+ blocking round trips per neighbour
+        # ALL neighbours in one vmapped dispatch + one bundled fetch: the
+        # pair programs are tiny on the MXU, so per-dispatch round-trip
+        # latency dominates a python loop over them
         st = world_map.state
-        results = [
-            _epipolar_pair_op(
-                st, jnp.int32(kf_slot), jnp.int32(nb), self.cam,
-                jnp.float32(p.maxDescDistance), jnp.float32(p.scaleFactor),
-            )
-            for nb in good
-        ]
-        results = jax.device_get(results)
-        cur_desc = world_map.h("kf_desc")[kf_slot]
-        cur_oct = world_map.h("kf_octave")[kf_slot]
+        nb_pad = good + [good[-1]] * (_EPI_MAX_NB - len(good))
+        ok_v, tidx_v, X_v = _epipolar_pairs_vmap(
+            st, jnp.int32(kf_slot), jnp.asarray(nb_pad, jnp.int32), self.cam,
+            jnp.float32(p.maxDescDistance), jnp.float32(p.scaleFactor),
+        )
+        # bundle the row slices into the same fetch (NOT h("kf_desc"):
+        # that would round-trip the whole multi-MB descriptor arena)
+        ok_v, tidx_v, X_v, cur_desc, cur_oct = jax.device_get((
+            ok_v, tidx_v, X_v, st.kf_desc[kf_slot], st.kf_octave[kf_slot],
+        ))
+        results = [(ok_v[i], tidx_v[i], X_v[i]) for i in range(len(good))]
         taken = np.zeros(st.N, bool)  # kpt of cur already got a point
         for nb, (ok, train_idx, X) in zip(good, results):
             if budget <= 0:
@@ -558,8 +584,12 @@ class MapManager:
             return
         covis = world_map.covis_matrix()
         obs_counts = world_map.point_observation_counts()
-        kf_ids = world_map.h("kf_ids")
         candidates = [int(s) for s in np.nonzero(covis[kf_slot] > 0)[0] if s != kf_slot]
+        # only candidate rows leave the device (full kf_ids is ~MBs)
+        cand_rows = {}
+        if candidates:
+            rows = jax.device_get(world_map.state.kf_ids[jnp.asarray(candidates)])
+            cand_rows = {c: rows[i] for i, c in enumerate(candidates)}
         # never cull the two oldest (gauge anchors)
         anchors = set(world_map.keyframes.active_slots()[:2].tolist())
         to_remove = []
@@ -567,7 +597,7 @@ class MapManager:
         for s in candidates:
             if s in anchors:
                 continue
-            ids = kf_ids[s]
+            ids = cand_rows[s]
             obs = ids[ids >= 0]
             if len(obs) < 10:
                 continue
