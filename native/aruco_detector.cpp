@@ -112,7 +112,24 @@ static void dp_simplify(const std::vector<Pt>& pts, int i0, int i1, float eps,
     }
 }
 
+static bool approx_quad_impl(const std::vector<Pt>& contour, Pt quad[4]);
+
 static bool approx_quad(const std::vector<Pt>& contour, Pt quad[4]) {
+    // Douglas-Peucker over a full-resolution contour is O(n * depth) per
+    // eps iteration and dominated the whole detector on textured scenes;
+    // decimate long contours first — the <=half-stride corner displacement
+    // this introduces is along the contour and the subpixel line-fit
+    // refinement downstream re-derives corners from edge geometry anyway.
+    size_t n = contour.size();
+    if (n <= 128) return approx_quad_impl(contour, quad);
+    size_t stride = (n + 95) / 96;
+    std::vector<Pt> dec;
+    dec.reserve(n / stride + 1);
+    for (size_t i = 0; i < n; i += stride) dec.push_back(contour[i]);
+    return approx_quad_impl(dec, quad);
+}
+
+static bool approx_quad_impl(const std::vector<Pt>& contour, Pt quad[4]) {
     size_t n = contour.size();
     if (n < 16) return false;
     // pick the point farthest from contour[0] as the split, approximate both
@@ -394,6 +411,57 @@ int aruco_detect(const uint8_t* gray, int w, int h,
             float area = quad_area(quad);
             if (std::fabs(area) < 100.0f) continue;
             if (area < 0) std::swap(quad[1], quad[3]);  // enforce CW in image
+
+            // cheap border probe with the UNREFINED quad: textured scenes
+            // produce hundreds of non-marker quad candidates per frame and
+            // the subpixel corner refinement below is ~100us each — sample
+            // one point per border cell and reject quads whose border is
+            // not mostly ink. Only applied to large quads: small ones are
+            // cheap to refine and their per-cell shift from the +-2px DP
+            // corners could contaminate too many single-sample cells.
+            if ((int)contour.size() >= 140) {
+                double Hp[9];
+                square_to_quad_h(quad, Hp);
+                int n = nbits_side, N = n + 2;
+                float vals[64];
+                int nv = 0, inside = 0;
+                float vmin = 1e9f, vmax = -1e9f;
+                for (int i = 0; i < N && nv < 60; ++i) {
+                    int cells[4][2] = {{0, i}, {N - 1, i}, {i, 0}, {i, N - 1}};
+                    int reps = (i == 0 || i == N - 1) ? 2 : 4;  // skip dup corners
+                    for (int k = 0; k < reps; ++k) {
+                        double u = (cells[k][1] + 0.5) / N;
+                        double v = (cells[k][0] + 0.5) / N;
+                        Pt p = apply_h(Hp, u, v);
+                        int ix = (int)(p.x + 0.5f), iy = (int)(p.y + 0.5f);
+                        if (ix < 0 || iy < 0 || ix >= w || iy >= h) continue;
+                        vals[nv++] = gray[(size_t)iy * w + ix];
+                    }
+                }
+                // interior samples extend the contrast range
+                for (int k = 0; k < 4 && nv < 64; ++k) {
+                    double u = (0.3 + 0.15 * k), v = (0.3 + 0.12 * k);
+                    Pt p = apply_h(Hp, u, v);
+                    int ix = (int)(p.x + 0.5f), iy = (int)(p.y + 0.5f);
+                    if (ix >= 0 && iy >= 0 && ix < w && iy < h) {
+                        vals[nv] = gray[(size_t)iy * w + ix];
+                        ++nv;
+                        ++inside;
+                    }
+                }
+                int nb = nv - inside;
+                if (nb >= 12) {
+                    for (int k = 0; k < nv; ++k) {
+                        vmin = std::min(vmin, vals[k]);
+                        vmax = std::max(vmax, vals[k]);
+                    }
+                    if (vmax - vmin < 30.0f) continue;  // no contrast
+                    float split = 0.5f * (vmin + vmax);
+                    int dark = 0;
+                    for (int k = 0; k < nb; ++k) dark += vals[k] < split;
+                    if (dark < nb - 6) continue;  // border not mostly ink
+                }
+            }
             // refine corners BEFORE decoding: the DP vertices are integer
             // contour pixels (±2 px), enough to shift the homography cell
             // grid into the quiet zone on rotated markers and break the

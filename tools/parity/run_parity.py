@@ -120,9 +120,26 @@ def run_tpu(dataset, camyml, out_dir, stereo=False, markers=False, frames=0,
     # hand the TPU back to the child (undo the parent's CPU pin)
     env.pop("JAX_PLATFORMS", None)
     env.pop("PALLAS_AXON_POOL_IPS", None)
-    r = subprocess.run(argv, timeout=7200, cwd=REPO, env=env)
-    assert r.returncode == 0, f"test_sequence failed rc={r.returncode}"
-    return {"wall_s": time.time() - t0}
+    os.makedirs(out_dir, exist_ok=True)
+    logp = os.path.join(out_dir, "run.log")
+    with open(logp, "w") as lf:
+        r = subprocess.run(
+            argv, timeout=7200, cwd=REPO, env=env, stdout=lf,
+            stderr=subprocess.STDOUT,
+        )
+    assert r.returncode == 0, f"test_sequence failed rc={r.returncode} (see {logp})"
+    out = {"wall_s": time.time() - t0}
+    import re
+
+    m = re.search(
+        r"mappingFPS=([\d.]+) trackingFPS=([\d.]+)", open(logp).read()
+    )
+    if m:
+        # SLAM (mapping) pass fps — same definition as the reference's
+        # fps_pass1 (tests/test_sequence.cpp:226-253 wall-clock fps)
+        out["fps_map"] = float(m.group(1))
+        out["fps_track"] = float(m.group(2))
+    return out
 
 
 SCENARIOS = ("mono", "markers", "stereo", "rgbd", "loop")
@@ -296,8 +313,11 @@ def main(argv=None):
             st = run_tpu(ds, tpu_cam, out_dir, frames=n_frames, voc=voc, **tpu_kwargs)
             est = os.path.join(out_dir, "trajectory.txt")
             ate, pct = evaluate(est, gt, with_scale)
-            r["tpu"] = {"ate": ate, "tracked_pct": pct, "wall_s": st["wall_s"]}
-            print(f"  tpu: ATE={ate:.4f} tracked={pct:.2%}", flush=True)
+            r["tpu"] = {"ate": ate, "tracked_pct": pct,
+                        "wall_s": st["wall_s"], "fps": st.get("fps_map"),
+                        "fps_track": st.get("fps_track")}
+            print(f"  tpu: ATE={ate:.4f} tracked={pct:.2%} "
+                  f"fps={st.get('fps_map')}", flush=True)
         results[name] = r
 
     out_json = os.path.join(args.out, "parity.json")
@@ -341,10 +361,11 @@ def write_md(results, frames):
             )
     lines += [
         "",
-        "Notes: fps for the reference is single-host CPU wall-clock of its "
-        "SLAM pass on this machine (2-core); ucoslam_tpu fps is benchmarked "
-        "separately on the TPU chip in BENCH (the CLI path here pays "
-        "host-side Python + compile overhead and is not the perf number).",
+        "Notes: host fps is each engine's SLAM-pass wall-clock fps on "
+        "this machine (2-core host; ucoslam_tpu drives one remote-attached "
+        "TPU chip through the production CLI with a warm XLA compile "
+        "cache). Chip-side kernel throughput is benchmarked separately in "
+        "BENCH.",
     ]
     with open(os.path.join(REPO, "PARITY.md"), "w") as f:
         f.write("\n".join(lines) + "\n")

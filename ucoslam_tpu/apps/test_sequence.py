@@ -195,14 +195,22 @@ def main(argv=None) -> int:
     recovered = 0
     recoveries_here = 0
     tightened_until = -1  # frame past which normal params are restored
+    prefetched = (-1, None)
     with trace_cm:
         while i < n:
+            # overlap the next image's host->device upload with this
+            # frame's host work (decode + device copy off the hot path)
+            img_i = prefetched[1] if prefetched[0] == i else get_img(i)
+            if i + 1 < n and get_right is None:
+                nxt = get_img(i + 1)
+                slam.prefetch(nxt)
+                prefetched = (i + 1, nxt)
             if get_right is not None:
-                pose = slam.processStereo(get_img(i), get_right(i), fseq=i)
+                pose = slam.processStereo(img_i, get_right(i), fseq=i)
             elif get_depth is not None:
-                pose = slam.processRGBD(get_img(i), get_depth(i), fseq=i)
+                pose = slam.processRGBD(img_i, get_depth(i), fseq=i)
             else:
-                pose = slam.process(get_img(i), fseq=i)
+                pose = slam.process(img_i, fseq=i)
             if pose is not None and 0 <= tightened_until <= i:
                 # re-acquired and past the loss point: restore normal KF
                 # params (reference restores 5 frames past the loss,
@@ -259,13 +267,19 @@ def main(argv=None) -> int:
     slam2.resetTracker()
     t1 = time.time()
     est_stamps, est_poses = [], []
+    prefetched = (-1, None)
     for i in range(n):
+        img_i = prefetched[1] if prefetched[0] == i else get_img(i)
+        if i + 1 < n and get_right is None:
+            nxt = get_img(i + 1)
+            slam2.prefetch(nxt)
+            prefetched = (i + 1, nxt)
         if get_right is not None:
-            pose = slam2.processStereo(get_img(i), get_right(i), fseq=i)
+            pose = slam2.processStereo(img_i, get_right(i), fseq=i)
         elif get_depth is not None:
-            pose = slam2.processRGBD(get_img(i), get_depth(i), fseq=i)
+            pose = slam2.processRGBD(img_i, get_depth(i), fseq=i)
         else:
-            pose = slam2.process(get_img(i), fseq=i)
+            pose = slam2.process(img_i, fseq=i)
         if pose is not None:
             est_stamps.append(stamps[i])
             est_poses.append(pose)

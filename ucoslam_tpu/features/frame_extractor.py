@@ -164,8 +164,10 @@ class FrameExtractor:
             )
             if self.params.autoAdjustKpSensitivity:
                 self._pending_fill = fill_frac
-            # host-scalar fseq: int(frame.fseq) must never be a device fetch
-            f = f._replace(fseq=np.int32(fseq))
+            # host-scalar fseq and host empty markers: control flow reads
+            # them every frame (int(frame.fseq), markers.valid.any()) and
+            # neither may cost a device fetch
+            f = f._replace(fseq=np.int32(fseq), markers=_empty_markers_host())
         else:
             # cv2-backed GridExtractor path (host detector): keep the
             # eager composition — the detector itself runs on host anyway
@@ -255,6 +257,28 @@ class FrameExtractor:
             jnp.float32(self.params.maxDescDistance),
         )
         return f._replace(depth=depth)
+
+
+_EMPTY_MARKERS_NP = None
+
+
+def _empty_markers_host():
+    """Host-numpy FrameMarkers (module-level constant)."""
+    global _EMPTY_MARKERS_NP
+    if _EMPTY_MARKERS_NP is None:
+        from ucoslam_tpu.mapping.frame import FrameMarkers, MAX_MARKERS_PER_FRAME
+
+        m = MAX_MARKERS_PER_FRAME
+        _EMPTY_MARKERS_NP = FrameMarkers(
+            id=np.full((m,), -1, np.int32),
+            corners=np.zeros((m, 4, 2), np.float32),
+            und_corners=np.zeros((m, 4, 2), np.float32),
+            pose1=np.broadcast_to(np.eye(4, dtype=np.float32), (m, 4, 4)),
+            pose2=np.broadcast_to(np.eye(4, dtype=np.float32), (m, 4, 4)),
+            err_ratio=np.zeros((m,), np.float32),
+            valid=np.zeros((m,), bool),
+        )
+    return _EMPTY_MARKERS_NP
 
 
 @jax.jit

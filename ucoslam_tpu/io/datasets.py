@@ -138,9 +138,14 @@ class TumSequence:
         return len(self.rgb)
 
     def read_rgb(self, i: int) -> np.ndarray:
+        """Grayscale (H, W) u8 — the pipeline is gray-first (the reference
+        converts BGR->gray immediately, frameextractor COLOR_BGR2GRAY);
+        decoding to gray here also cuts the host->device image upload 3x."""
         import cv2
 
-        return cv2.imread(os.path.join(self.root, self.rgb[i][1]), cv2.IMREAD_UNCHANGED)
+        return cv2.imread(
+            os.path.join(self.root, self.rgb[i][1]), cv2.IMREAD_GRAYSCALE
+        )
 
     def read_depth_for(self, i: int) -> np.ndarray | None:
         if not self.depth:
@@ -341,7 +346,7 @@ class EurocSequence:
         import cv2
 
         path = self.files0[i] if cam == 0 else self.files1[i]
-        return cv2.imread(path, cv2.IMREAD_UNCHANGED)
+        return cv2.imread(path, cv2.IMREAD_GRAYSCALE)
 
 
 # ----------------------------------------------------------------------
@@ -421,7 +426,7 @@ class KittiSequence:
         import cv2
 
         path = self.files0[i] if cam == 0 else self.files1[i]
-        return cv2.imread(path, cv2.IMREAD_UNCHANGED)
+        return cv2.imread(path, cv2.IMREAD_GRAYSCALE)
 
 
 # ----------------------------------------------------------------------

@@ -672,7 +672,12 @@ class Map:
         return True
 
     def bump_point_stats(self, vis_mask, seen_mask) -> None:
-        self.state = op_bump_point_stats(self.state, vis_mask, seen_mask)
+        # targeted invalidation: this runs every tracked frame and only
+        # touches the two counter fields — wiping the whole host mirror
+        # would force the per-frame signature to refetch ~800KB
+        self._state = op_bump_point_stats(self.state, vis_mask, seen_mask)
+        self._host_cache.pop("pt_n_seen", None)
+        self._host_cache.pop("pt_n_visible", None)
 
     def scale(self, s: float) -> None:
         self.state = op_scale_map(self.state, jnp.float32(s))
@@ -762,18 +767,15 @@ class Map:
         Hashes the quantized active content in slot order; identical
         logical maps produce identical signatures across runs.
         """
-        st = self.state
         h = hashlib.blake2b(digest_size=8)
-        for arr, quant in (
-            (st.pt_pos, 1e4),
-            (st.pt_active, None),
-            (st.kf_pose, 1e4),
-            (st.kf_active, None),
-            (st.kf_ids, None),
-            (st.mk_id, None),
-            (st.mk_pose, 1e4),
-        ):
-            a = np.asarray(arr)
+        # through the host mirror: the map only mutates at keyframe rate,
+        # so per-frame signature printing costs no device traffic between
+        # keyframes (~800KB of fetches per call otherwise)
+        fields = self.h(
+            "pt_pos", "pt_active", "kf_pose", "kf_active", "kf_ids",
+            "mk_id", "mk_pose",
+        )
+        for a, quant in zip(fields, (1e4, None, 1e4, None, None, None, 1e4)):
             if quant is not None:
                 a = np.round(a.astype(np.float64) * quant).astype(np.int64)
             h.update(a.tobytes())

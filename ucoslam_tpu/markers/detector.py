@@ -20,8 +20,16 @@ import jax
 import jax.numpy as jnp
 
 from ucoslam_tpu.geometry.camera import CameraParams
-from ucoslam_tpu.mapping.frame import MAX_MARKERS_PER_FRAME, FrameMarkers, empty_markers
+from ucoslam_tpu.mapping.frame import MAX_MARKERS_PER_FRAME, FrameMarkers
 from ucoslam_tpu.markers.ippe import ippe_square_poses
+
+
+def empty_markers() -> FrameMarkers:
+    """Host-numpy empty markers: the no-detection path runs every frame
+    and downstream control flow reads .valid on host."""
+    from ucoslam_tpu.features.frame_extractor import _empty_markers_host
+
+    return _empty_markers_host()
 
 _DICT_MAP = {
     "ARUCO_MIP_36h12": "DICT_ARUCO_MIP_36h12",
