@@ -18,6 +18,7 @@
 #include <cstring>
 #include <cmath>
 #include <vector>
+#include <thread>
 #include <algorithm>
 
 #include "aruco_mip_36h12.h"
@@ -374,29 +375,15 @@ extern "C" {
 // Returns number of markers found (<= max_out).
 // out_corners: max_out * 8 floats (TL,TR,BR,BL x,y in the decoded rotation)
 // out_ids: max_out ints.
-int aruco_detect(const uint8_t* gray, int w, int h,
+static int detect_one_window(const uint8_t* gray, int w, int h, int win,
                  const uint64_t* dict, int dict_size, int nbits_side,
                  int min_perimeter, int max_correction,
                  float* out_corners, int* out_ids, int max_out) {
-    if (dict == nullptr) {
-        dict = ARUCO_MIP_36H12;
-        dict_size = ARUCO_MIP_36H12_SIZE;
-        nbits_side = 6;
-    }
-    // multi-scale adaptive threshold sweep (the reference aruco's
-    // DM_NORMAL thresholds at several window sizes; a single window misses
-    // markers whose local context is skewed by adjacent texture). Window
-    // order is small->large; duplicates across windows are merged by the
-    // same-id locality dedup below. max_correction < 0 encodes fast mode:
-    // one window only.
-    const int windows_all[3] = {15, 9, 27};
-    int n_windows = max_correction < 0 ? 1 : 3;
-    if (max_correction < 0) max_correction = 0;
     int found = 0;
     std::vector<uint8_t> bin;
     std::vector<Pt> contour;
-    for (int wi = 0; wi < n_windows && found < max_out; ++wi) {
-    adaptive_threshold(gray, w, h, windows_all[wi], 7, bin);
+    {
+    adaptive_threshold(gray, w, h, win, 7, bin);
     std::vector<uint8_t> mark((size_t)w * h, 0);
     for (int y = 1; y < h - 1 && found < max_out; ++y) {
         for (int x = 1; x < w - 1 && found < max_out; ++x) {
@@ -570,7 +557,94 @@ int aruco_detect(const uint8_t* gray, int w, int h,
             if (dup < 0) ++found;
         }
     }
-    }  // window sweep
+    }
+    return found;
+}
+
+int aruco_detect(const uint8_t* gray, int w, int h,
+                 const uint64_t* dict, int dict_size, int nbits_side,
+                 int min_perimeter, int max_correction,
+                 float* out_corners, int* out_ids, int max_out) {
+    if (dict == nullptr) {
+        dict = ARUCO_MIP_36H12;
+        dict_size = ARUCO_MIP_36H12_SIZE;
+        nbits_side = 6;
+    }
+    // multi-scale adaptive threshold sweep (the reference aruco's
+    // DM_NORMAL thresholds at several window sizes; a single window misses
+    // markers whose local context is skewed by adjacent texture), run
+    // CONCURRENTLY — the reference parallelizes detection the same way
+    // and the windows are fully independent until the merge.
+    // max_correction < 0 encodes fast mode: one window only.
+    const int windows_all[3] = {15, 9, 27};
+    int n_windows = max_correction < 0 ? 1 : 3;
+    if (max_correction < 0) max_correction = 0;
+    struct WOut {
+        std::vector<float> corners;
+        std::vector<int> ids;
+        int found = 0;
+    };
+    WOut wo[3];
+    auto run_window = [&](int wi) {
+        wo[wi].corners.resize((size_t)max_out * 8);
+        wo[wi].ids.resize((size_t)max_out);
+        wo[wi].found = detect_one_window(
+            gray, w, h, windows_all[wi], dict, dict_size, nbits_side,
+            min_perimeter, max_correction,
+            wo[wi].corners.data(), wo[wi].ids.data(), max_out);
+    };
+    if (n_windows == 1) {
+        run_window(0);
+    } else {
+        std::thread t1(run_window, 1), t2(run_window, 2);
+        run_window(0);
+        t1.join();
+        t2.join();
+    }
+    // merge across windows: same-id locality dedup, keep the larger quad
+    int found = 0;
+    for (int wi = 0; wi < n_windows; ++wi) {
+        for (int c = 0; c < wo[wi].found && found < max_out; ++c) {
+            Pt q[4];
+            for (int i = 0; i < 4; ++i)
+                q[i] = {wo[wi].corners[c * 8 + i * 2],
+                        wo[wi].corners[c * 8 + i * 2 + 1]};
+            int id = wo[wi].ids[c];
+            float cxm = 0, cym = 0;
+            for (int i = 0; i < 4; ++i) { cxm += q[i].x; cym += q[i].y; }
+            cxm *= 0.25f; cym *= 0.25f;
+            float my_area = std::fabs(quad_area(q));
+            int dup = -1;
+            for (int f = 0; f < found; ++f) {
+                if (out_ids[f] != id) continue;
+                float ox = 0, oy = 0;
+                for (int i = 0; i < 4; ++i) {
+                    ox += out_corners[f * 8 + i * 2];
+                    oy += out_corners[f * 8 + i * 2 + 1];
+                }
+                ox *= 0.25f; oy *= 0.25f;
+                if (std::hypot(ox - cxm, oy - cym) < std::sqrt(my_area)) {
+                    dup = f;
+                    break;
+                }
+            }
+            int slot = found;
+            if (dup >= 0) {
+                Pt oq[4];
+                for (int i = 0; i < 4; ++i)
+                    oq[i] = {out_corners[dup * 8 + i * 2],
+                             out_corners[dup * 8 + i * 2 + 1]};
+                if (std::fabs(quad_area(oq)) >= my_area) continue;
+                slot = dup;
+            }
+            for (int i = 0; i < 4; ++i) {
+                out_corners[slot * 8 + i * 2] = q[i].x;
+                out_corners[slot * 8 + i * 2 + 1] = q[i].y;
+            }
+            out_ids[slot] = id;
+            if (dup < 0) ++found;
+        }
+    }
     return found;
 }
 

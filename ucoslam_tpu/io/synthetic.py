@@ -180,6 +180,18 @@ class SyntheticSequence:
                 ang = 2 * np.pi * s
                 eye = np.array([2.0 * np.sin(ang), 0.0, 2.0 * np.cos(ang)])
                 center = eye + np.array([4.0 * np.sin(ang), 0.0, 4.0 * np.cos(ang)])
+            elif trajectory == "sweep_back":
+                # gentle revisit: inward-looking sweep around the scene
+                # that returns to its start — generous frame overlap
+                # throughout (the central slab stays in view), so both
+                # engines survive and a head-to-head on it compares
+                # loop-seam map correction, not tracking collapse
+                ang = np.deg2rad(60.0) * np.sin(np.pi * s)
+                eye = center + np.array([
+                    5.0 * np.sin(ang),
+                    0.4 * np.sin(2 * np.pi * s),
+                    -5.0 * np.cos(ang),
+                ])
             else:
                 raise ValueError(trajectory)
             R, t = _lookat(eye, center)

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 
 from ucoslam_tpu.geometry.camera import CameraParams
@@ -79,6 +80,23 @@ def empty_markers(m: int = MAX_MARKERS_PER_FRAME) -> FrameMarkers:
         err_ratio=jnp.zeros((m,), jnp.float32),
         valid=jnp.zeros((m,), bool),
     )
+
+
+_EMPTY_MARKERS_DEV = None
+
+
+def strip_markers(frame: Frame) -> Frame:
+    """Replace the markers with a cached DEVICE empty constant.
+
+    Frames carry host-numpy marker leaves (host control flow reads them
+    every frame); jitted programs that ignore markers would still upload
+    all seven numpy arrays on every call (~a round trip each on a
+    remote-attached chip). The cached device constant transfers once per
+    process."""
+    global _EMPTY_MARKERS_DEV
+    if _EMPTY_MARKERS_DEV is None:
+        _EMPTY_MARKERS_DEV = jax.device_put(empty_markers())
+    return frame._replace(markers=_EMPTY_MARKERS_DEV)
 
 
 def empty_frame(n: int, m: int = MAX_MARKERS_PER_FRAME) -> Frame:

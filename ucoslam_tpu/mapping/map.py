@@ -511,8 +511,12 @@ class Map:
 
     # -- keyframes ------------------------------------------------------
     def add_keyframe(self, frame: Frame) -> int:
+        from ucoslam_tpu.mapping.frame import strip_markers
+
         slot = self.keyframes.alloc()
-        self.state = op_add_keyframe(self.state, jnp.int32(slot), frame)
+        self.state = op_add_keyframe(
+            self.state, jnp.int32(slot), strip_markers(frame)
+        )
         return slot
 
     def remove_keyframes(self, slots) -> None:

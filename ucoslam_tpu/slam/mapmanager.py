@@ -335,8 +335,15 @@ class MapManager:
                 self._queue.task_done()
 
     # ------------------------------------------------------------------
-    def new_keyframe(self, world_map: Map, frame: Frame) -> int:
-        """Insert `frame` as a keyframe and grow the map around it."""
+    def new_keyframe(
+        self, world_map: Map, frame: Frame, host_ids=None, host_depth=None,
+        host_valid=None,
+    ) -> int:
+        """Insert `frame` as a keyframe and grow the map around it.
+
+        host_ids/host_depth/host_valid: host copies of the frame arrays if
+        the caller already fetched them (the tracker's bundled transfer) —
+        each np.asarray here is otherwise a separate device round trip."""
         p = self.params
         # capacity-doubling growth so long sequences never starve
         # (SURVEY §5 map-size scaling; the arenas are XLA-static per bucket)
@@ -346,7 +353,7 @@ class MapManager:
             world_map.grow_points()
         # async: the candidate's point ids were assigned against an older
         # state snapshot — drop ids whose slots were freed/recycled meanwhile
-        ids = np.asarray(frame.ids)
+        ids = host_ids if host_ids is not None else np.asarray(frame.ids)
         if (ids >= 0).any():
             alive = world_map.h("pt_active")
             stale = (ids >= 0) & ~alive[np.clip(ids, 0, len(alive) - 1)]
@@ -384,7 +391,10 @@ class MapManager:
             if self.metric_locked:
                 update_marker_poses(world_map, self.cam, p)
 
-        self._create_stereo_points(world_map, kf_slot, frame)
+        self._create_stereo_points(
+            world_map, kf_slot, frame,
+            host_depth=host_depth, host_valid=host_valid, host_ids=ids,
+        )
         self._create_epipolar_points(world_map, kf_slot, frame)
         self._fuse_duplicates(world_map, kf_slot)
         self._cull_recent_points(world_map)
@@ -439,15 +449,16 @@ class MapManager:
             global_bundle_adjustment(world_map, self.cam, n_iters=10)
 
     # ------------------------------------------------------------------
-    def _create_stereo_points(self, world_map: Map, kf_slot: int, frame: Frame):
+    def _create_stereo_points(
+        self, world_map: Map, kf_slot: int, frame: Frame, host_depth=None,
+        host_valid=None, host_ids=None,
+    ):
         """Direct points from per-keypoint depth (stereo/RGB-D), for
         unassigned keypoints with valid close depth (ref get3dStereoPoint)."""
-        depth = np.asarray(frame.depth)
-        valid = (
-            np.asarray(frame.valid)
-            & (depth > 0)
-            & (np.asarray(frame.ids) < 0)
-        )
+        depth = host_depth if host_depth is not None else np.asarray(frame.depth)
+        kvalid = host_valid if host_valid is not None else np.asarray(frame.valid)
+        kids = host_ids if host_ids is not None else np.asarray(frame.ids)
+        valid = kvalid & (depth > 0) & (kids < 0)
         if self.cam.bl > 0:
             valid &= depth < 40.0 * self.cam.bl
         idx = np.nonzero(valid)[0]

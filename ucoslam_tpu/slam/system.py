@@ -157,7 +157,11 @@ class System:
             self.manager.last_scale_correction = 1.0
             loops_before = self.manager.loop_closures
             with timers.stage("mapping"):
-                kf_slot = self.manager.new_keyframe(self.map, res.frame)
+                kf_slot = self.manager.new_keyframe(
+                    self.map, res.frame,
+                    host_ids=res.host_ids, host_depth=res.host_depth,
+                    host_valid=res.host_valid,
+                )
             if self.manager.loop_closures != loops_before:
                 # bigChange (mapmanager.h:859): a loop moved the world under
                 # us — adopt the corrected keyframe pose, reset the motion

@@ -203,12 +203,17 @@ class Tracker:
         return jnp.asarray(mk_X), jnp.asarray(mk_uv), jnp.asarray(mk_valid)
 
     def track(self, world_map: Map, frame: Frame, prior: jnp.ndarray) -> TrackResult:
+        from ucoslam_tpu.mapping.frame import strip_markers
+
         st = world_map.state
         p = self.params
         mk_X, mk_uv, mk_valid = self._marker_rows(world_map, frame)
+        # the jitted step ignores markers; host-numpy marker leaves would
+        # be re-uploaded on every call (a round trip each)
+        frame_d = strip_markers(frame)
         pose, ids, inlier, n_matched, n_inliers, vis, seen = _track_step(
             st,
-            frame,
+            frame_d,
             self.cam,
             prior,
             jnp.float32(p.projDistThr),
@@ -230,7 +235,7 @@ class Tracker:
             # projDistThr when tracking weakens).
             pose, ids, inlier, n_matched, n_inliers, vis, seen = _track_step(
                 st,
-                frame,
+                frame_d,
                 self.cam,
                 prior,
                 jnp.float32(p.projDistThr * 2.5),
