@@ -142,7 +142,7 @@ def run_tpu(dataset, camyml, out_dir, stereo=False, markers=False, frames=0,
     return out
 
 
-SCENARIOS = ("mono", "markers", "stereo", "rgbd", "loop")
+SCENARIOS = ("mono", "markers", "stereo", "rgbd", "loop", "loop_easy")
 
 
 def build_scenario(name, out, frames, seed=5):
@@ -220,6 +220,25 @@ def build_scenario(name, out, frames, seed=5):
             {"recovery": True},
             seq.cam,
         )
+    if name == "loop_easy":
+        # gentle revisit (VERDICT r5 ask): an inward-looking sweep that
+        # returns to its start with generous frame overlap — the reference
+        # survives it, so this row compares loop-seam map correction
+        # (correctMap, loopdetector.cpp:3024-3081) rather than mutual
+        # tracking collapse like the orbit scenario
+        seq = SyntheticSequence(
+            n_frames=frames, n_points=2200, seed=seed,
+            trajectory="sweep_back",
+        )
+        if not os.path.exists(os.path.join(root, "rgb.txt")):
+            write_synthetic_tum(seq, root)
+        return (
+            root,
+            os.path.join(root, "groundtruth.txt"),
+            [],
+            {},
+            seq.cam,
+        )
     if name == "stereo":
         from ucoslam_tpu.geometry.camera import CameraParams
 
@@ -278,8 +297,9 @@ def main(argv=None):
     results = {}
     for name in scenarios:
         print(f"=== scenario {name} ===", flush=True)
-        # the loop scenario needs a full orbit for the seam to exist
-        n_frames = 360 if name == "loop" else args.frames
+        # the loop scenario needs a full orbit for the seam to exist;
+        # the gentle revisit needs the full out-and-back sweep
+        n_frames = {"loop": 360, "loop_easy": 240}.get(name, args.frames)
         ds, gt, ref_extra, tpu_kwargs, cam = build_scenario(
             name, args.out, n_frames
         )

@@ -1109,6 +1109,37 @@ def _solve_dispatch(
     result with the returned problem."""
     mesh = _resolve_ba_mesh(n_points)
     if mesh is not None and mesh.devices.size > 1:
+        # big marker-free problems route to the COMMUNICATION-AVOIDING
+        # point-major sharded solver: 2 latency-bound psums per LM step,
+        # zero collectives inside CG (parallel/sharded_pm.py; the general
+        # sharded path below pays one (V, 6) psum per CG iteration)
+        if problem.cam_obs is not None and problem.cam_pose.shape[0] >= 128:
+            from ucoslam_tpu.optim.schur_pm import pm_problem_for
+
+            pm = pm_problem_for(problem)
+            if pm is not None:
+                from ucoslam_tpu.parallel.sharded_pm import (
+                    shard_pm_problem, sharded_pm_solve,
+                )
+
+                spm = shard_pm_problem(pm, mesh.devices.size)
+                cam_pose, pt_pos, costs, c2_pm, bad_pm = sharded_pm_solve(
+                    spm, cam, mesh, iters=n_iters, stages=stages
+                )
+                O = problem.obs_cam.shape[0]
+                P0 = problem.pt_pos.shape[0]
+                src = jnp.where(spm.pm.o_src >= 0, spm.pm.o_src, O).reshape(-1)
+                c2 = jnp.zeros((O + 1,)).at[src].set(c2_pm.reshape(-1))[:O]
+                bad = (
+                    jnp.zeros((O + 1,), bool).at[src].set(bad_pm.reshape(-1))[:O]
+                )
+                result = BAResult(
+                    cam_pose=cam_pose, pt_pos=pt_pos[:P0], obs_chi2=c2,
+                    obs_bad=bad, cost_history=costs, mk_pose=None,
+                )
+                # per-obs outputs were scattered back to the ORIGINAL
+                # observation order — pair with the original problem
+                return result, problem
         from ucoslam_tpu.parallel.sharded_ba import (
             shard_ba_problem, sharded_ba_solve,
         )

@@ -279,7 +279,11 @@ def _cost_pm(pm: PMProblem, cam_pose, pt_pos, cam, active, robust):
     return jnp.sum(jnp.where(active, rho, 0.0))
 
 
-@partial(jax.jit, static_argnames=("iters", "stages", "cg_iters", "relin_every"))
+def _identity(x):
+    return x
+
+
+@partial(jax.jit, static_argnames=("iters", "stages", "cg_iters", "relin_every", "psum"))
 def pm_staged_lm(
     pm: PMProblem,
     cam: CameraParams,
@@ -287,6 +291,7 @@ def pm_staged_lm(
     stages: int = 2,
     cg_iters: int = 32,
     relin_every: int = 6,
+    psum=_identity,
 ):
     """Staged adaptive-LM with matrix-free block-sparse-Schur PCG and
     LAZY RELINEARIZATION: Jacobian-derived quantities (A, Y, Hpp^-1, Hv,
@@ -301,6 +306,16 @@ def pm_staged_lm(
     it retries a rejected step with a larger lambda without recomputing J.
 
     Returns (cam_pose, pt_pos, costs, c2 (P, MO), bad (P, MO)).
+
+    `psum` (default identity) makes the SAME implementation the sharded
+    big-map solver (parallel/sharded_pm.py): point rows and pair-table
+    contributions shard across the mesh; psum combines (a) the packed
+    (V, 72) Hv/DK and (V, 12) gradient reductions, (b) the block-sparse
+    S values ONCE PER RELINEARIZATION, and (c) the scalar acceptance
+    cost. The CG loop itself runs on fully replicated (V-sized) data —
+    ZERO collectives per CG iteration, unlike the general solver's
+    matrix-free path (one (V, 6) psum per iteration, which is latency-
+    bound at pod scale — the eff_64 = 0.27 finding of BENCH_r04).
     """
     V = pm.cam_pose.shape[0]
     P, MO = pm.o_cam.shape
@@ -346,7 +361,7 @@ def pm_staged_lm(
         # Hv and the exact Schur diagonal DK in ONE packed cam_reduce
         Hc_o = jnp.einsum("pmij,pmik,pm->pmjk", Jc, Jc, w).reshape(P, MO, 36)
         DK_o = jnp.einsum("pmij,pmkj->pmik", Y, A).reshape(P, MO, 36)
-        packed = cam_reduce(jnp.concatenate([Hc_o, DK_o], -1))  # (V, 72)
+        packed = psum(cam_reduce(jnp.concatenate([Hc_o, DK_o], -1)))  # (V, 72)
         Hv = packed[:, :36].reshape(V, 6, 6)
         DK = packed[:, 36:].reshape(V, 6, 6)
 
@@ -359,7 +374,7 @@ def pm_staged_lm(
         NPn, CP = t1.shape
         Yg = Yf[t1].reshape(NPn, CP, 6, 3)
         Ag = Af[t2].reshape(NPn, CP, 6, 3)
-        S_blocks = jnp.einsum("bcij,bckj->bik", Yg, Ag)  # (NP, 6, 6)
+        S_blocks = psum(jnp.einsum("bcij,bckj->bik", Yg, Ag))  # (NP, 6, 6)
         return Jc, Jp, w, A, Hpp_inv, Y, Hv, DK, S_blocks
 
     def inner_step(w_info, obs_active, robust, frozen, carry, _):
@@ -373,7 +388,7 @@ def pm_staged_lm(
         bp = jnp.einsum("pmij,pmi,pm->pj", Jp, r, w)  # (P, 3)
         bc_o = jnp.einsum("pmij,pmi,pm->pmj", Jc, r, w)  # (P, MO, 6)
         bcorr_o = jnp.einsum("pmij,pj->pmi", Y, bp)  # (P, MO, 6)
-        packed = cam_reduce(jnp.concatenate([bc_o, bcorr_o], -1))  # (V, 12)
+        packed = psum(cam_reduce(jnp.concatenate([bc_o, bcorr_o], -1)))  # (V, 12)
         bv = packed[:, :6]
         b_corr = -packed[:, 6:]
 
@@ -443,7 +458,7 @@ def pm_staged_lm(
         new_cam = jnp.where(free[:, None, None], new_cam, cam_pose)
         new_pt = pt_pos - delta_p
 
-        new_cost = _cost_pm(pm, new_cam, new_pt, cam, obs_active, robust)
+        new_cost = psum(_cost_pm(pm, new_cam, new_pt, cam, obs_active, robust))
         improved = new_cost < cost_prev
         cam_pose = jnp.where(improved, new_cam, cam_pose)
         pt_pos = jnp.where(improved, new_pt, pt_pos)
@@ -474,7 +489,7 @@ def pm_staged_lm(
     for stage in range(stages):
         robust = stage == 0
         w_info = active.astype(jnp.float32) / pm.o_sigma2.clip(1e-9)
-        cost0 = _cost_pm(pm, cam_pose, pt_pos, cam, active, robust)
+        cost0 = psum(_cost_pm(pm, cam_pose, pt_pos, cam, active, robust))
         (cam_pose, pt_pos, _, _), costs = jax.lax.scan(
             partial(macro_step, w_info, active, robust, R),
             (cam_pose, pt_pos, jnp.float32(1e-4), cost0),
