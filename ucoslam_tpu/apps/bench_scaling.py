@@ -113,6 +113,45 @@ def main(argv=None) -> int:
         )
         print(json.dumps(rows[-1]), flush=True)
     print(json.dumps({"metric": "ba_weak_scaling", "rows": rows}))
+
+    # ---- communication-avoiding sharded POINT-MAJOR solver ------------
+    # (parallel/sharded_pm.py, the production big-map path): report its
+    # measured HLO all-reduce inventory next to the general solver's —
+    # the design claim is O(LM steps) collectives, none per CG iteration
+    from ucoslam_tpu.optim.schur_pm import pm_problem_for
+    from ucoslam_tpu.parallel.sharded_pm import (
+        shard_pm_problem, sharded_pm_solve,
+    )
+
+    n = max(s_ for s_ in sizes if s_ > 1) if len(sizes) > 1 else None
+    if n:
+        problem, cam = _make_ba_problem(
+            jnp, n_kf=args.keyframes, n_pt=args.points_per_device * n,
+            obs_per_pt=args.obs_per_point,
+        )
+        pm = pm_problem_for(problem)
+        if pm is not None:
+            mesh = make_mesh(n)
+            spm = shard_pm_problem(pm, n)
+            import re
+
+            try:
+                txt = jax.jit(
+                    lambda: sharded_pm_solve(
+                        spm, cam, mesh, iters=args.iters, stages=1
+                    )[0]
+                ).lower().compile().as_text()
+                n_ar = len(re.findall(r"all-reduce(?:-start)?\(", txt))
+            except Exception as e:  # noqa: BLE001
+                txt, n_ar = "", -1
+                print(json.dumps({"sharded_pm_error": str(e)[:200]}))
+            print(json.dumps({
+                "metric": "sharded_pm_collectives",
+                "devices": n,
+                "n_all_reduce_sites": n_ar,
+                "note": "count is independent of cg_iters "
+                        "(test_sharded_pm.py gates this)",
+            }))
     return 0
 
 
