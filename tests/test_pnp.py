@@ -137,3 +137,57 @@ class TestProjectionMatching:
             jnp.float32(15.0), jnp.float32(50.0),
         )
         assert int(m.n_matched) < 20
+
+
+class TestFusedLMKernel:
+    """The Pallas-fused motion-only LM (ops/pallas/lm_kernel.py) must match
+    the jnp implementation (interpret mode; the TPU path compiles the same
+    kernel through Mosaic)."""
+
+    def _scene(self, n=257, outlier_frac=0.2, seed=7):
+        rng = np.random.default_rng(seed)
+        X = rng.uniform(-2, 2, (n, 3)).astype(np.float32)
+        X[:, 2] = rng.uniform(3, 10, n)
+        T_true = se3_exp(jnp.asarray([0.1, -0.05, 0.02, 0.03, -0.02, 0.01]))
+        uv = np.asarray(CAM.project(se3_apply(T_true, jnp.asarray(X)))).copy()
+        uv += rng.normal(0, 0.4, uv.shape).astype(np.float32)
+        out = rng.random(n) < outlier_frac
+        uv[out] += rng.uniform(25, 90, (int(out.sum()), 2)).astype(np.float32)
+        T0 = se3_exp(jnp.asarray([0.08, -0.03, 0.0, 0.02, 0.0, 0.0]))
+        return (
+            jnp.asarray(X), jnp.asarray(uv.astype(np.float32)),
+            jnp.ones(n), jnp.ones(n, bool), jnp.asarray(T0), T_true,
+        )
+
+    def test_matches_xla_mono(self):
+        from ucoslam_tpu.ops.pallas.lm_kernel import motion_only_lm_fused
+
+        X, uv, s2, valid, T0, T_true = self._scene()
+        ref = motion_only_lm(T0, X, uv, s2, valid, CAM)
+        pose, inl = motion_only_lm_fused(
+            T0, X, uv, s2, valid, CAM.fx, CAM.fy, CAM.cx, CAM.cy,
+            interpret=True,
+        )
+        assert int(inl.sum()) == int(ref.n_inliers)
+        assert (np.asarray(inl) == np.asarray(ref.inliers)).all()
+        assert float(jnp.abs(pose - ref.pose_f2g).max()) < 1e-4
+        assert pose_err(pose, T_true) < 0.01
+
+    def test_matches_xla_stereo(self):
+        from ucoslam_tpu.ops.pallas.lm_kernel import motion_only_lm_fused
+
+        rng = np.random.default_rng(11)
+        X, uv, s2, valid, T0, T_true = self._scene(seed=11)
+        depth = np.asarray(se3_apply(T_true, X))[:, 2].astype(np.float32)
+        depth[rng.random(len(depth)) < 0.4] = 0.0  # mixed mono/stereo rows
+        bf = 0.1 * 500.0
+        ref = motion_only_lm(
+            T0, X, uv, s2, valid, CAM,
+            depth=jnp.asarray(depth), bf=jnp.float32(bf),
+        )
+        pose, inl = motion_only_lm_fused(
+            T0, X, uv, s2, valid, CAM.fx, CAM.fy, CAM.cx, CAM.cy,
+            depth=jnp.asarray(depth), bf=bf, has_depth=True, interpret=True,
+        )
+        assert int(inl.sum()) == int(ref.n_inliers)
+        assert float(jnp.abs(pose - ref.pose_f2g).max()) < 1e-4

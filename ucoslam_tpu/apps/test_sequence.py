@@ -192,6 +192,7 @@ def main(argv=None) -> int:
     t0 = time.time()
     i = 0
     last_ckpt_frame = 0
+    p1_tracked = set()  # frame indices tracked at least once in pass 1
     recovered = 0
     recoveries_here = 0
     tightened_until = -1  # frame past which normal params are restored
@@ -211,6 +212,8 @@ def main(argv=None) -> int:
                 pose = slam.processRGBD(img_i, get_depth(i), fseq=i)
             else:
                 pose = slam.process(img_i, fseq=i)
+            if pose is not None:
+                p1_tracked.add(i)
             if pose is not None and 0 <= tightened_until <= i:
                 # re-acquired and past the loss point: restore normal KF
                 # params (reference restores 5 frames past the loss,
@@ -292,7 +295,8 @@ def main(argv=None) -> int:
     maxrss_mb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024.0
     print(
         f"mappingFPS={n / max(t_map, 1e-9):.2f} trackingFPS={n / max(t_track, 1e-9):.2f} "
-        f"tracked={len(est_poses)}/{n} recoveries={recovered} "
+        f"tracked={len(est_poses)}/{n} pass1_tracked={len(p1_tracked)}/{n} "
+        f"recoveries={recovered} "
         f"keyframes={slam.map.n_keyframes} points={slam.map.n_points} "
         f"maxRSS={maxrss_mb:.0f}MB"
     )

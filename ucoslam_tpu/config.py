@@ -143,6 +143,8 @@ class Params:
     maxMarkers: int = 64  # marker arena capacity
     maxLocalKeyFrames: int = 0  # local-BA covis window cap; 0 = full local covis set (reference semantics)
     ransacIters: int = 256  # vmapped hypotheses for PnP/H/F RANSAC
+    kfRotationDeg: float = 8.0  # rotation since last KF that forces a qualifying keyframe (fast pans outrun inlier decay; 0 disables)
+    reseedAfterLostFrames: int = 12  # consecutive lost SLAM frames before two-view re-seeding a fresh map segment (0 disables)
     lmItersTracking: int = 10  # per-round LM iterations for motion-only BA
     lmRoundsTracking: int = 4  # outlier-reclassification rounds (ref pnpsolver)
     baIters: int = 100  # global BA LM iterations (ref ParamSet::nIters)

@@ -66,6 +66,25 @@ def _reproj_residual_jac(pose, X, cam: CameraParams):
     return q, uv, J
 
 
+_LM_BACKEND = "auto"  # "auto" | "xla" | "pallas"
+
+
+def set_lm_backend(backend: str) -> None:
+    """Select the motion-only-LM backend: "pallas" (single fused TPU
+    kernel, ops/pallas/lm_kernel.py), "xla" (jnp op-by-op), or "auto"
+    (pallas on TPU, xla elsewhere). Callers retrace on change."""
+    global _LM_BACKEND
+    assert backend in ("auto", "xla", "pallas"), backend
+    _LM_BACKEND = backend
+    motion_only_lm.clear_cache()
+
+
+def _use_pallas_lm() -> bool:
+    if _LM_BACKEND == "xla":
+        return False
+    return _LM_BACKEND == "pallas" or jax.default_backend() == "tpu"
+
+
 @partial(jax.jit, static_argnames=("iters", "rounds"))
 def motion_only_lm(
     pose_init: jnp.ndarray,  # (4, 4)
@@ -86,6 +105,17 @@ def motion_only_lm(
     gated at chi2(3D).
     """
     has_depth = depth is not None
+    if _use_pallas_lm():
+        from ucoslam_tpu.ops.pallas.lm_kernel import motion_only_lm_fused
+
+        pose, inliers = motion_only_lm_fused(
+            pose_init, pts3d, uv, sigma2, valid, cam.fx, cam.fy, cam.cx,
+            cam.cy, depth=depth, bf=bf, iters=iters, rounds=rounds,
+            has_depth=has_depth,
+        )
+        return PnPResult(
+            pose_f2g=pose, inliers=inliers, n_inliers=jnp.sum(inliers)
+        )
     if depth is None:
         depth = jnp.zeros(pts3d.shape[0])
     if bf is None:

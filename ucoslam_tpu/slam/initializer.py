@@ -230,6 +230,110 @@ class MapInitializer:
         return float(np.linalg.norm(T_cur[:3, 3])), ri, g2m.astype(np.float32)
 
     # -- keypoint two-view path -----------------------------------------
+    def _two_view_geometry(self, frame: Frame):
+        """Shared two-view core: match vs the stored reference frame, H/F
+        RANSAC, motion recovery, triangulation. Returns an error-status
+        string or (points_refcam, point_ok, pose_21, matches)."""
+        ref = self.ref_frame
+        matches = match_frames(
+            ref, frame, jnp.float32(self.params.maxDescDistance), nn_ratio=0.9
+        )
+        if int(matches.n_matches) < 100:
+            return "few_matches"
+        self._key, sub = jax.random.split(self._key)
+        t_idx = matches.train_idx
+        uv1 = ref.und_xy
+        uv2 = frame.und_xy[jnp.where(t_idx >= 0, t_idx, 0)]
+        sigma2 = jnp.exp(
+            2.0 * ref.octave.astype(jnp.float32)
+            * jnp.log(jnp.float32(self.params.scaleFactor))
+        )
+        model = estimate_two_view(uv1, uv2, matches.valid, sigma2, sub)
+        rec = reconstruct_two_view(
+            model, uv1, uv2, matches.valid, sigma2, self.cam, self.cam,
+            min_triangulated=jnp.int32(50), min_parallax_deg=jnp.float32(1.0),
+        )
+        if not bool(rec.ok):
+            return "no_geometry"
+        return (
+            np.asarray(rec.points),
+            np.asarray(rec.point_ok),
+            np.asarray(rec.pose_21).copy(),
+            matches,
+        )
+
+    def reseed_two_view(
+        self,
+        frame: Frame,
+        world_map: Map,
+        anchor_pose: np.ndarray,
+        baseline_hint: float,
+        creation_kf: int,
+    ):
+        """Two-view init of a FRESH MAP SEGMENT inside an existing map.
+
+        Recovery path for unrecoverable tracking loss (the reference's
+        harness gives up and waits for relocalization, which a one-way
+        trajectory never grants — tests/test_sequence.cpp:268-296): seed a
+        new disconnected component anchored at the dead-reckoned global
+        pose `anchor_pose` (pose_f2g of the stored reference frame) with
+        scale set so the two-view baseline equals `baseline_hint` (metres,
+        from the motion model). Later loop closure can stitch the segments
+        when the old map is re-observed (BoW loop candidates span the whole
+        keyframe database). Returns (status, cur_frame_with_pose,
+        (ref_kf_slot, cur_kf_slot) — empty tuple unless status == "ok").
+        """
+        if self.ref_frame is None:
+            return "no_ref", frame, ()
+        ref = self.ref_frame
+        got = self._two_view_geometry(frame)
+        if isinstance(got, str):
+            return got, frame, ()
+        pts, ok, pose_21, matches = got
+        base = float(np.linalg.norm(pose_21[:3, 3]))
+        if base < 1e-6:
+            return "no_geometry", frame, ()
+        # metric-ish scale: make the recovered baseline match the motion
+        # model's dead-reckoned baseline (bounded; dead reckoning over the
+        # lost gap is approximate)
+        s = float(np.clip(baseline_hint / base, 1e-3, 1e3))
+        pts = pts * s
+        pose_21[:3, 3] *= s
+
+        anchor = np.asarray(anchor_pose, np.float64)
+        # global coords: X_g = anchor^-1 @ X_refcam
+        A_inv = np.linalg.inv(anchor)
+        pts_g = (pts[ok] @ A_inv[:3, :3].T) + A_inv[:3, 3]
+        idx1 = np.nonzero(ok)[0]
+        idx2 = np.asarray(matches.train_idx)[idx1]
+        octave1 = np.asarray(ref.octave)[idx1]
+        dist = np.linalg.norm(pts[idx1], axis=1)
+        min_d, max_d = _min_max_dist(dist, octave1, self.params)
+        slots = world_map.add_points(
+            pos=pts_g.astype(np.float32),
+            normal=_view_normals(pts_g, anchor.astype(np.float32)),
+            desc=np.asarray(ref.desc)[idx1],
+            min_dist=min_d,
+            max_dist=max_d,
+            flags=np.zeros(len(idx1), np.int32),
+            creation_kf=creation_kf,
+        )
+        ids1 = np.full(ref.n, -1, np.int32)
+        ids1[idx1] = slots
+        ids2 = np.full(frame.n, -1, np.int32)
+        ids2[idx2] = slots
+        pose_ref = anchor.astype(np.float32)
+        pose_cur = (pose_21.astype(np.float64) @ anchor).astype(np.float32)
+        ref2 = ref._replace(
+            ids=jnp.asarray(ids1), pose_f2g=jnp.asarray(pose_ref)
+        )
+        cur = frame._replace(
+            ids=jnp.asarray(ids2), pose_f2g=jnp.asarray(pose_cur)
+        )
+        s1 = world_map.add_keyframe(ref2)
+        s2 = world_map.add_keyframe(cur)
+        return "ok", cur, (s1, s2)
+
     def initialize_two_view(self, frame: Frame, world_map: Map):
         """Attempt 2-view init vs the stored reference frame.
 
@@ -244,39 +348,20 @@ class MapInitializer:
         if self.ref_frame is None:
             return "no_ref", frame
         ref = self.ref_frame
-        # looser ratio than tracking's 0.8: with only two wide-baseline
-        # views the second-best is often a true neighbour on the epipolar
-        # line, and H/F RANSAC downstream rejects the extra outliers
-        matches = match_frames(
-            ref, frame, jnp.float32(self.params.maxDescDistance), nn_ratio=0.9
-        )
-        n_matches = int(matches.n_matches)
-        if n_matches < 100:
-            return "few_matches", frame
-        self._key, sub = jax.random.split(self._key)
-        t_idx = matches.train_idx
-        uv1 = ref.und_xy
-        uv2 = frame.und_xy[jnp.where(t_idx >= 0, t_idx, 0)]
-        sigma2 = jnp.exp(
-            2.0 * ref.octave.astype(jnp.float32) * jnp.log(jnp.float32(self.params.scaleFactor))
-        )
-        model = estimate_two_view(uv1, uv2, matches.valid, sigma2, sub)
-        rec = reconstruct_two_view(
-            model, uv1, uv2, matches.valid, sigma2, self.cam, self.cam,
-            min_triangulated=jnp.int32(50), min_parallax_deg=jnp.float32(1.0),
-        )
-        if not bool(rec.ok):
-            return "no_geometry", frame
-
-        pts = np.asarray(rec.points)
-        ok = np.asarray(rec.point_ok)
+        # the matcher uses a looser ratio (0.9) than tracking's 0.8: with
+        # only two wide-baseline views the second-best is often a true
+        # neighbour on the epipolar line, and H/F RANSAC downstream rejects
+        # the extra outliers
+        got = self._two_view_geometry(frame)
+        if isinstance(got, str):
+            return got, frame
+        pts, ok, pose2, matches = got
         # normalize scale: median depth (in ref camera = world) -> 1
         med = float(np.median(pts[ok][:, 2]))
         if med <= 1e-6:
             return "no_geometry", frame
         scale = 1.0 / med
         pts = pts * scale
-        pose2 = np.asarray(rec.pose_21).copy()
         pose2[:3, 3] *= scale
 
         idx1 = np.nonzero(ok)[0]  # keypoint index in ref frame

@@ -53,6 +53,11 @@ class System:
         self.velocity = np.eye(4, dtype=np.float32)  # motion model increment
         self.frames_since_kf = 0
         self.last_kf_inliers = 0
+        self._last_kf_rot = None  # rotation (3x3) of the last-inserted KF
+        self._lost_streak = 0  # consecutive lost frames (re-seed trigger)
+        self._reseed_anchor = None  # dead-reckoned pose at re-seed ref frame
+        self._reseed_ref_fseq = 0
+        self._dead_pose = None  # motion-model extrapolation while lost
         self.stats_log = []
         # non-sequential: spawn the mapping worker (the reference's default
         # two-thread pipeline; runSequential=True keeps everything inline)
@@ -125,10 +130,24 @@ class System:
 
         if not res.ok:
             self.state = TrackingState.LOST
+            self._lost_streak += 1
+            if self.pose is not None:
+                # keep dead-reckoning through the outage: the motion model's
+                # last per-frame increment extrapolates the anchor for a
+                # potential fresh-segment re-seed
+                base = self._dead_pose if self._dead_pose is not None else self.pose
+                self._dead_pose = (self.velocity @ base).astype(np.float32)
+            pose = self._try_reseed(frame)
+            if pose is not None:
+                self._log(frame, pose, self.last_kf_inliers)
+                return pose
             self._log(frame, None, 0)
             return None
 
         self.state = TrackingState.TRACKING
+        self._lost_streak = 0
+        self._reseed_anchor = None
+        self._dead_pose = None
         pose = np.asarray(res.pose_f2g)
         self._update_motion_model(pose)
         self.frames_since_kf += 1
@@ -150,6 +169,7 @@ class System:
                 if self.manager.enqueue_keyframe(res.frame):
                     self.frames_since_kf = 0
                     self.last_kf_inliers = max(res.n_inliers, 1)
+                    self._last_kf_rot = pose[:3, :3].copy()
             self._log(frame, pose, res.n_inliers)
             return pose
 
@@ -184,7 +204,66 @@ class System:
             # the running max in subsequent frames absorbs the post-mapping
             # inlier surge from newly triangulated points
             self.last_kf_inliers = max(res.n_inliers, 1)
+            self._last_kf_rot = pose[:3, :3].copy()
         self._log(frame, pose, res.n_inliers)
+        return pose
+
+    def _try_reseed(self, frame: Frame) -> np.ndarray | None:
+        """Fresh-segment re-seed after unrecoverable tracking loss.
+
+        The reference's harness gives up after its rollback budget and waits
+        for relocalization (tests/test_sequence.cpp:268-296) — which a
+        one-way trajectory never grants. Instead: once relocalization has
+        failed `reseedAfterLostFrames` consecutive frames in SLAM mode, park
+        a reference frame at the dead-reckoned global pose, then two-view
+        initialize a NEW disconnected map segment there
+        (initializer.reseed_two_view). Loop closure stitches the segments if
+        the old map is ever re-observed (the BoW database spans both)."""
+        p = self.params
+        if (
+            p.reseedAfterLostFrames <= 0
+            or self.mode != Mode.SLAM
+            or self.manager.is_async  # map writes belong to the worker
+            or self._lost_streak < p.reseedAfterLostFrames
+            or self._dead_pose is None
+        ):
+            return None
+        if self._reseed_anchor is None:
+            self.initializer.set_reference_frame(frame)
+            self._reseed_anchor = self._dead_pose.copy()
+            self._reseed_ref_fseq = int(frame.fseq)
+            return None
+        gap = max(1, int(frame.fseq) - self._reseed_ref_fseq)
+        baseline = max(1e-3, float(np.linalg.norm(self.velocity[:3, 3])) * gap)
+        status, cur, slots = self.initializer.reseed_two_view(
+            frame, self.map, self._reseed_anchor, baseline,
+            creation_kf=self.manager.kf_counter,
+        )
+        if status == "few_matches":
+            # the scene moved past the parked reference: re-park here
+            self.initializer.set_reference_frame(frame)
+            self._reseed_anchor = self._dead_pose.copy()
+            self._reseed_ref_fseq = int(frame.fseq)
+            return None
+        if status != "ok":
+            return None  # low parallax so far: keep waiting for baseline
+        for s in slots:  # register the segment with the BoW database
+            self.manager.kfdb.add(
+                int(s), self.map.state.kf_desc[int(s)],
+                self.map.state.kf_kpt_valid[int(s)],
+            )
+        self.manager.kf_counter += 2
+        self.state = TrackingState.TRACKING
+        pose = np.asarray(cur.pose_f2g).astype(np.float32)
+        self.pose = pose
+        self.prev_pose = None
+        self.velocity = np.eye(4, dtype=np.float32)
+        self.frames_since_kf = 0
+        self.last_kf_inliers = max(int(np.asarray(cur.ids >= 0).sum()), 30)
+        self._last_kf_rot = pose[:3, :3].copy()
+        self._lost_streak = 0
+        self._reseed_anchor = None
+        self._dead_pose = None
         return pose
 
     def _try_initialize(self, frame: Frame) -> np.ndarray | None:
@@ -217,6 +296,12 @@ class System:
                 self._update_motion_model(pose)
                 self.manager.kf_counter = 1
                 self.last_kf_inliers = int(np.asarray(frame.valid).sum())
+                self._last_kf_rot = pose[:3, :3].copy()
+                for s in self.map.keyframes.active_slots():
+                    self.manager.kfdb.add(
+                        int(s), self.map.state.kf_desc[int(s)],
+                        self.map.state.kf_kpt_valid[int(s)],
+                    )
                 self._log(frame, pose, self.last_kf_inliers)
                 return pose
             return None
@@ -287,6 +372,14 @@ class System:
         self._update_motion_model(pose)
         self.manager.kf_counter = self.map.n_keyframes
         self.last_kf_inliers = max(int(np.asarray(cur.ids >= 0).sum()), 30)
+        self._last_kf_rot = pose[:3, :3].copy()
+        # the bootstrap keyframes must be BoW-searchable (relocalization and
+        # loop candidates query the database over ALL keyframes)
+        for s in self.map.keyframes.active_slots():
+            self.manager.kfdb.add(
+                int(s), self.map.state.kf_desc[int(s)],
+                self.map.state.kf_kpt_valid[int(s)],
+            )
         self._log(frame, pose, self.last_kf_inliers)
         return pose
 
@@ -333,6 +426,19 @@ class System:
             tracked_close = int((close & (ids >= 0)).sum())
             creatable = int((close & (ids < 0) & kvalid).sum())
             need = tracked_close < 100 and creatable > 70
+        if (
+            not need
+            and p.kfRotationDeg > 0
+            and self._last_kf_rot is not None
+            and self.pose is not None
+        ):
+            # rotation-rate condition (LONGRUN r4 fix direction): a fast pan
+            # sweeps features out of view before the inlier count decays —
+            # insert once the view has rotated kfRotationDeg past the last
+            # keyframe so the map keeps keyframes around the sweep
+            dR = self.pose[:3, :3] @ self._last_kf_rot.T
+            cosang = np.clip((np.trace(dR) - 1.0) / 2.0, -1.0, 1.0)
+            need = np.degrees(np.arccos(cosang)) >= p.kfRotationDeg
         confidence = res.n_inliers / max(res.n_matches, 1)
         qualifies = res.n_inliers >= 20 and confidence >= p.KFMinConfidence
         if need and qualifies:
@@ -416,6 +522,9 @@ class System:
         self.state = TrackingState.LOST
         self.pose = None
         self.velocity = np.eye(4, dtype=np.float32)
+        self._lost_streak = 0
+        self._reseed_anchor = None
+        self._dead_pose = None
 
     def global_signature(self) -> int:
         """Determinism signature over map + params + TRACKER state.
