@@ -258,6 +258,18 @@ def bench_global_ba(jax, jnp):
         "ba_roofline": roof,
     }
     try:
+        # intermediate (512 kf) problem: headroom evidence between the
+        # mapping window and the reference-suite scale (VERDICT r4 item 7)
+        mid, cam_m = _make_ba_problem(jnp, n_kf=512, n_pt=65536, obs_per_pt=8)
+        t_mid, conv_m, _ = _ba_iter_time(jax, jnp, mid, cam_m)
+        out.update(
+            ba_512_t_iter_ms=round(t_mid * 1e3, 3),
+            ba_512_problem="512kf x 65536pt x 524288obs",
+            ba_512_cost_decreased=bool(conv_m),
+        )
+    except Exception as e:  # noqa: BLE001
+        out["ba_512_error"] = str(e)[:200]
+    try:
         big, cam_b = _make_ba_problem(jnp, n_kf=1024, n_pt=131072, obs_per_pt=8)
         t_big, conv_b, roof_b = _ba_iter_time(jax, jnp, big, cam_b)
         out.update(
@@ -272,6 +284,9 @@ def bench_global_ba(jax, jnp):
         if pm_b is not None:
             # pair count feeds the sharded-pm ICI model (bench_scaling)
             out["ba_big_np_pairs"] = int(pm_b.pair_m1.shape[0])
+            # the skew cap (build_pm_problem) keeps loopy graphs on the
+            # fast path; report what it dropped (0 on this uniform graph)
+            out["ba_big_dropped_obs"] = int(pm_b.dropped_obs)
     except Exception as e:  # noqa: BLE001 — big-map bench is best-effort
         out["ba_big_error"] = str(e)[:200]
     return out

@@ -193,12 +193,14 @@ def main(argv=None) -> int:
     i = 0
     last_ckpt_frame = 0
     p1_tracked = set()  # frame indices tracked at least once in pass 1
+    frame_dt = []  # per-frame wall seconds (pass 1)
     recovered = 0
     recoveries_here = 0
     tightened_until = -1  # frame past which normal params are restored
     prefetched = (-1, None)
     with trace_cm:
         while i < n:
+            t_frame = time.time()
             # overlap the next image's host->device upload with this
             # frame's host work (decode + device copy off the hot path)
             img_i = prefetched[1] if prefetched[0] == i else get_img(i)
@@ -220,6 +222,7 @@ def main(argv=None) -> int:
                 # tests/test_sequence.cpp:268-296)
                 slam.updateParams(params)
                 tightened_until = -1
+            frame_dt.append(time.time() - t_frame)
             fps = (i + 1) / max(time.time() - t0, 1e-9)
             print(
                 f"|@# Image {i + 1}/{n} fps={fps:.2f} "
@@ -293,6 +296,13 @@ def main(argv=None) -> int:
     import resource
 
     maxrss_mb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024.0
+    # steady-state fps: median per-frame wall time once the session is warm
+    # (the first frames pay one-time costs — TPU tunnel attach and any cold
+    # XLA compiles — that the reference's in-process C++ never has; the
+    # all-in mappingFPS above still reports them honestly)
+    warm = sorted(frame_dt[min(20, max(len(frame_dt) - 10, 0)):])
+    steady = warm[len(warm) // 2] if warm else float("inf")
+    print(f"steadyFPS={1.0 / max(steady, 1e-9):.2f} (median frame {steady * 1e3:.1f}ms)")
     print(
         f"mappingFPS={n / max(t_map, 1e-9):.2f} trackingFPS={n / max(t_track, 1e-9):.2f} "
         f"tracked={len(est_poses)}/{n} pass1_tracked={len(p1_tracked)}/{n} "

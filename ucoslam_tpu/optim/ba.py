@@ -677,6 +677,20 @@ def ba_solve(
                 .at[:O]
                 .get()
             )
+            if pm.dropped_obs:
+                # observations the skew cap excluded from the SOLVE still
+                # need honest chi2/bad outputs (culling sweeps consume
+                # them): one exact residual pass at the final estimate
+                covered = (
+                    jnp.zeros((O + 1,), bool).at[src].set(True).at[:O].get()
+                )
+                c2_full, q_full = _chi2_of(problem, cam_pose, pt_pos, cam)
+                delta2 = jnp.where(problem.obs_depth > 0, CHI2_3D, CHI2_2D)
+                bad_full = problem.obs_valid & (
+                    (c2_full > delta2) | (q_full[..., 2] <= 0)
+                )
+                c2 = jnp.where(covered, c2, c2_full)
+                bad = jnp.where(covered, bad, bad_full)
             return BAResult(
                 cam_pose=cam_pose,
                 pt_pos=pt_pos,

@@ -65,6 +65,7 @@ class PMProblem(NamedTuple):
     vp_pair: jnp.ndarray  # (V, PB) int32 pair id (-1 pad)
     vp_other: jnp.ndarray  # (V, PB) int32 other vertex
     vp_trans: jnp.ndarray  # (V, PB) bool — this vertex is the pair's j side
+    dropped_obs: int = 0  # observations dropped by the skew cap (static)
 
 
 def build_pm_problem(problem) -> PMProblem | None:
@@ -102,12 +103,35 @@ def build_pm_problem(problem) -> PMProblem | None:
         return b
 
     MO = bucket(MO, 4)
-    if P * MO > 2.5 * n_live:
-        return None  # too skewed for a uniform grid
-    # pair-table blowup guard: sum of deg^2 is the contribution count
-    n_contrib = int((counts.astype(np.int64) * (counts - 1) // 2).sum())
-    if n_contrib > 4 * n_live * max(MO, 1):
-        return None
+
+    def guards_ok(mo: int) -> bool:
+        cnt = np.minimum(counts, mo)
+        nl = int(cnt.sum())
+        if P * mo > 2.5 * nl:
+            return False  # too skewed for a uniform grid
+        # pair-table blowup guard: sum of deg^2 is the contribution count
+        n_contrib = int((cnt.astype(np.int64) * (cnt - 1) // 2).sum())
+        return n_contrib <= 4 * nl * max(mo, 1)
+
+    # Skew cap instead of bailing (VERDICT r4 weak #7): a loopy map's few
+    # hyper-observed points (seen from the whole loop) blow MO and the
+    # deg^2 pair count; rather than silently falling back to the ~10x
+    # slower matrix-free CG path, cap the per-point observation count at
+    # the largest bucket that satisfies both guards and drop the excess
+    # observations FROM THIS SOLVE (they stay in the BAProblem; the final
+    # chi2 / acceptance still sees every edge). The kept set is the first
+    # MO per point in (point, camera) order — deterministic.
+    dropped = 0
+    if not guards_ok(MO):
+        mo_fit = MO
+        while mo_fit > 4 and not guards_ok(mo_fit):
+            mo_fit //= 2
+        if mo_fit <= 4 or not guards_ok(mo_fit):
+            return None  # pathological graph even with capping
+        dropped = n_live - int(np.minimum(counts, mo_fit).sum())
+        if dropped > 0.2 * n_live:
+            return None  # capping would discard too much of the problem
+        MO = mo_fit
 
     # ---- uniform (P, MO) grid, obs sorted by (point, camera) ----------
     lv = np.nonzero(live)[0]
@@ -115,6 +139,9 @@ def build_pm_problem(problem) -> PMProblem | None:
     lv = lv[order]
     pts = obs_pt[lv]
     slot = np.arange(len(lv)) - np.searchsorted(pts, pts)  # rank within point
+    if dropped:
+        keep = slot < MO
+        lv, pts, slot = lv[keep], pts[keep], slot[keep]
     o_src = np.full((P, MO), -1, np.int64)
     o_src[pts, slot] = lv
     filled = o_src >= 0
@@ -211,6 +238,7 @@ def build_pm_problem(problem) -> PMProblem | None:
         vp_pair=jnp.asarray(vp_pair.astype(np.int32)),
         vp_other=jnp.asarray(vp_other.astype(np.int32)),
         vp_trans=jnp.asarray(vp_trans),
+        dropped_obs=int(dropped),
     )
 
 

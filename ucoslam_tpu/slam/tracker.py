@@ -9,6 +9,7 @@ when lost (:4923-5292).
 
 from __future__ import annotations
 
+from functools import partial
 from typing import NamedTuple
 
 import numpy as np
@@ -49,7 +50,7 @@ class TrackResult(NamedTuple):
 _MK_ROWS = 64
 
 
-@jax.jit
+@partial(jax.jit, static_argnames=("use_depth",))
 def _track_step(
     state: MapState,
     frame: Frame,
@@ -61,6 +62,7 @@ def _track_step(
     mk_X: jnp.ndarray = None,  # (_MK_ROWS, 3) marker corner world points
     mk_uv: jnp.ndarray = None,  # (_MK_ROWS, 2) observed und. corners
     mk_valid: jnp.ndarray = None,  # (_MK_ROWS,) bool
+    use_depth: bool = False,  # static: stereo/RGB-D rows in the LM
 ):
     """Jitted core: match active map points against the frame and refine.
 
@@ -74,48 +76,77 @@ def _track_step(
         mk_X = jnp.zeros((_MK_ROWS, 3))
         mk_uv = jnp.zeros((_MK_ROWS, 2))
         mk_valid = jnp.zeros((_MK_ROWS,), bool)
-    m = match_points_to_frame(
-        state.pt_pos,
-        state.pt_desc,
-        state.pt_normal,
-        state.pt_min_dist,
-        state.pt_max_dist,
-        state.pt_active,
-        frame,
-        cam,
-        prior,
-        proj_dist_thr,
-        max_desc_dist,
-        scale_factor,
-    )
-    # Compact to KEYPOINT-major before the LM: the map has P >> N slots and
-    # only matched keypoints carry observations, so iterating the LM over
-    # (N,) rows instead of (P,) cuts the per-iteration sweep ~8x.
     P = state.pt_pos.shape[0]
     pt_slots = jnp.arange(P, dtype=jnp.int32)
-    safe_k = jnp.where(m.point_valid, m.kpt_idx, frame.n)
-    pt_of_kpt = jnp.full((frame.n,), -1, jnp.int32).at[safe_k].set(
-        pt_slots, mode="drop"
-    )
-    obs_valid = pt_of_kpt >= 0
-    X = state.pt_pos[jnp.clip(pt_of_kpt, 0)]
     sigma2 = jnp.exp(
         2.0 * frame.octave.astype(jnp.float32) * jnp.log(scale_factor)
     )
-    # marker weight balancing (pnpsolver.cpp:305-310): w_markers + w_kp = 1
-    # with w_markers = 0.3; each marker-corner row's information is
-    # weight_marker = (0.3 * totalNEdges / 0.7) / KpWeightSum
-    kp_w = jnp.sum(jnp.where(obs_valid, 1.0 / sigma2, 0.0))
-    n_mk = mk_valid.reshape(-1, 4).any(1).sum().astype(jnp.float32)
-    total_e = m.n_matched.astype(jnp.float32) + n_mk
-    w_mk = (0.3 * total_e / 0.7) / jnp.clip(kp_w, 1e-6)
-    sigma2_mk = 1.0 / jnp.clip(w_mk, 1e-9)
-    X_all = jnp.concatenate([X, mk_X])
-    uv_all = jnp.concatenate([frame.und_xy, mk_uv])
-    sig_all = jnp.concatenate([sigma2, jnp.full((_MK_ROWS,), sigma2_mk)])
-    valid_all = jnp.concatenate([obs_valid, mk_valid])
-    res = motion_only_lm(
-        prior, X_all, uv_all, sig_all, valid_all, cam, iters=10, rounds=4
+
+    def match_and_refine(pose0, thr, iters, rounds):
+        m = match_points_to_frame(
+            state.pt_pos,
+            state.pt_desc,
+            state.pt_normal,
+            state.pt_min_dist,
+            state.pt_max_dist,
+            state.pt_active,
+            frame,
+            cam,
+            pose0,
+            thr,
+            max_desc_dist,
+            scale_factor,
+        )
+        # Compact to KEYPOINT-major before the LM: the map has P >> N
+        # slots and only matched keypoints carry observations, so
+        # iterating the LM over (N,) rows instead of (P,) cuts the
+        # per-iteration sweep ~8x.
+        safe_k = jnp.where(m.point_valid, m.kpt_idx, frame.n)
+        pt_of_kpt = jnp.full((frame.n,), -1, jnp.int32).at[safe_k].set(
+            pt_slots, mode="drop"
+        )
+        obs_valid = pt_of_kpt >= 0
+        X = state.pt_pos[jnp.clip(pt_of_kpt, 0)]
+        # marker weight balancing (pnpsolver.cpp:305-310): w_markers +
+        # w_kp = 1 with w_markers = 0.3; each marker-corner row's
+        # information is weight_marker = (0.3 * totalNEdges / 0.7) /
+        # KpWeightSum
+        kp_w = jnp.sum(jnp.where(obs_valid, 1.0 / sigma2, 0.0))
+        n_mk = mk_valid.reshape(-1, 4).any(1).sum().astype(jnp.float32)
+        total_e = m.n_matched.astype(jnp.float32) + n_mk
+        w_mk = (0.3 * total_e / 0.7) / jnp.clip(kp_w, 1e-6)
+        sigma2_mk = 1.0 / jnp.clip(w_mk, 1e-9)
+        X_all = jnp.concatenate([X, mk_X])
+        uv_all = jnp.concatenate([frame.und_xy, mk_uv])
+        sig_all = jnp.concatenate([sigma2, jnp.full((_MK_ROWS,), sigma2_mk)])
+        valid_all = jnp.concatenate([obs_valid, mk_valid])
+        if use_depth:
+            # stereo/RGB-D: measured per-keypoint depth adds the disparity
+            # residual u_r = u - bf/z to each matched row, gated at
+            # chi2(3D) (EdgeStereoSE3ProjectXYZOnlyPose, pnpsolver.cpp:246)
+            depth_all = jnp.concatenate(
+                [frame.depth, jnp.zeros((_MK_ROWS,))]
+            )
+            res = motion_only_lm(
+                pose0, X_all, uv_all, sig_all, valid_all, cam,
+                depth=depth_all, bf=cam.bl * cam.fx,
+                iters=iters, rounds=rounds,
+            )
+        else:
+            res = motion_only_lm(
+                pose0, X_all, uv_all, sig_all, valid_all, cam,
+                iters=iters, rounds=rounds,
+            )
+        return m, pt_of_kpt, obs_valid, res
+
+    # two-stage track (the reference's track-then-refine pipeline): wide
+    # association from the motion-model prior, then a RE-MATCH from the
+    # refined pose at a tight radius — the second association pass picks up
+    # points the prior's error pushed outside their gate and sheds early
+    # mismatches before the final refine
+    _, _, _, res0 = match_and_refine(prior, proj_dist_thr, 10, 4)
+    m, pt_of_kpt, obs_valid, res = match_and_refine(
+        res0.pose_f2g, jnp.maximum(0.5 * proj_dist_thr, 6.0), 10, 2
     )
     inlier_kpt = res.inliers[: frame.n] & obs_valid  # (N,)
     res = res._replace(n_inliers=jnp.sum(inlier_kpt))
@@ -220,6 +251,7 @@ class Tracker:
             jnp.float32(p.maxDescDistance),
             jnp.float32(p.scaleFactor),
             mk_X, mk_uv, mk_valid,
+            use_depth=self.cam.bl > 0,
         )
         # ONE bundled transfer for everything the host-side control flow
         # needs (device_get issues the copies async then blocks once; a
@@ -242,6 +274,7 @@ class Tracker:
                 jnp.float32(p.maxDescDistance),
                 jnp.float32(p.scaleFactor),
                 mk_X, mk_uv, mk_valid,
+                use_depth=self.cam.bl > 0,
             )
             pose_np, ids_np, inlier_np, n_matched, n_inl = jax.device_get(
                 (pose, ids, inlier, n_matched, n_inliers)
