@@ -25,9 +25,16 @@ import time
 
 # The PARENT never touches the TPU: the axon worker tolerates exactly one
 # client process, and the engine subprocess must be it. Renders/evaluation
-# here run on CPU jax.
+# here run on CPU jax. Capture the launch env FIRST — the engine child
+# must get the ORIGINAL tunnel config back (deleting the vars makes jax
+# silently fall back to XLA:CPU in the child, which poisons every fps
+# measurement while leaving ATE plausible).
+TPU_ENV = {
+    k: os.environ.get(k)
+    for k in ("JAX_PLATFORMS", "PALLAS_AXON_POOL_IPS")
+}
 os.environ["PALLAS_AXON_POOL_IPS"] = ""
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 
 import numpy as np
 
@@ -119,9 +126,13 @@ def run_tpu(dataset, camyml, out_dir, stereo=False, markers=False, frames=0,
         argv += ["--recovery", "--save-every", "40"]
     t0 = time.time()
     env = dict(os.environ)
-    # hand the TPU back to the child (undo the parent's CPU pin)
-    env.pop("JAX_PLATFORMS", None)
-    env.pop("PALLAS_AXON_POOL_IPS", None)
+    # hand the TPU back to the child: restore the ORIGINAL launch values
+    # (popping them entirely breaks tunnel discovery -> CPU fallback)
+    for k, v in TPU_ENV.items():
+        if v is not None:
+            env[k] = v
+        else:
+            env.pop(k, None)
     os.makedirs(out_dir, exist_ok=True)
     logp = os.path.join(out_dir, "run.log")
     with open(logp, "w") as lf:

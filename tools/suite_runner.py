@@ -24,9 +24,9 @@ import shutil
 import subprocess
 import sys
 
-os.environ["PALLAS_AXON_POOL_IPS"] = ""  # parent stays off the TPU tunnel
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-
+# run_parity (imported below) captures the launch TPU-tunnel env for the
+# engine children and then pins THIS parent process to CPU jax — import it
+# before anything touches os.environ or jax
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 sys.path.insert(0, os.path.join(REPO, "tools", "parity"))

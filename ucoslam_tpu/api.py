@@ -150,6 +150,13 @@ class UcoSlam:
             "kf_counter": sysd.manager.kf_counter,
             "last_kf_inliers": sysd.last_kf_inliers,
             "metric_locked": sysd.manager.metric_locked,
+            # rotation-rate KF-policy anchor + init-failure counter: part
+            # of the tracker state the reference serializes wholesale
+            # (system.cpp:2865-3102); without them a resumed session makes
+            # different keyframe/init decisions than the straight run
+            "last_kf_rot": None if sysd._last_kf_rot is None
+            else sysd._last_kf_rot.tolist(),
+            "init_failures": getattr(sysd, "_init_failures", 0),
             "kfdb_dummy": sysd.manager.kfdb.dummy,
             "fast_threshold": getattr(
                 self._extractor.orb, "fast_threshold", None
@@ -252,6 +259,11 @@ class UcoSlam:
         self._system.mode = Mode(meta.get("mode", 0))
         self._system.manager.kf_counter = meta.get("kf_counter", self._map.n_keyframes)
         self._system.last_kf_inliers = meta.get("last_kf_inliers", 0)
+        if meta.get("last_kf_rot") is not None:
+            self._system._last_kf_rot = np.asarray(
+                meta["last_kf_rot"], np.float32
+            )
+        self._system._init_failures = meta.get("init_failures", 0)
 
     # -- introspection --------------------------------------------------
     @property
