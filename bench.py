@@ -35,6 +35,10 @@ _CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cach
 
 def _enable_compile_cache(jax):
     try:
+        # bench at the precision production runs: the engine forces f32
+        # matmul precision (utils/precision.py) because bf16-default
+        # geometry math costs ~11x ATE in the head-to-head
+        jax.config.update("jax_default_matmul_precision", "highest")
         os.makedirs(_CACHE_DIR, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)

@@ -30,6 +30,9 @@ class System:
         world_map: Map | None = None,
         kfdb=None,
     ):
+        from ucoslam_tpu.utils.precision import force_f32_matmuls
+
+        force_f32_matmuls()  # TPU: geometry/optim matmuls must be f32
         params = params.effective()  # apply the extraParams escape hatch
         self.params = params
         self.cam = cam
