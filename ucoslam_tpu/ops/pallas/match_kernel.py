@@ -53,8 +53,13 @@ def _match_kernel(
     j = pl.program_id(1)
     bn = bits_bT_ref.shape[1]
     dot = jnp.dot(
-        bits_a_ref[:], bits_bT_ref[:], preferred_element_type=jnp.float32
-    )  # (BP, BN), exact: ±1 dot in [-256, 256]
+        bits_a_ref[:], bits_bT_ref[:], preferred_element_type=jnp.float32,
+        # explicit: the engine-wide f32-highest default (utils/precision)
+        # must not reach this bf16 bit-matmul — Mosaic rejects fp32
+        # contract precision on bf16 operands, and ±1 dots in [-256, 256]
+        # are exact at native bf16 anyway
+        precision=jax.lax.Precision.DEFAULT,
+    )  # (BP, BN)
     d = (DESC_BITS - dot) * 0.5
     du = meta_a_ref[:, 0:1] - meta_bT_ref[0:1, :]
     dv = meta_a_ref[:, 1:2] - meta_bT_ref[1:2, :]
